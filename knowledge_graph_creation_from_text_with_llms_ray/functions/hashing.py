@@ -1,0 +1,136 @@
+"""Deterministic hashing kernels: content sha256, minhash, simhash,
+rolling fingerprints, n-gram shingles.
+
+All functions are pure and seed-free (constants baked in) so that
+re-runs, resumed partitions, and different cluster sizes produce
+byte-identical results.  The vectorized variants operate on lists /
+numpy arrays so ``map_batches`` stages stay off the per-row Python path
+where it matters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MINHASH_MAX = np.uint64(0xFFFFFFFF)
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def sha256_hex_batch(texts) -> list[str]:
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def sha256_rollup(hex_digests) -> str:
+    """Order-insensitive rollup of per-row sha256 digests (xor of the
+    128-bit prefixes), used in lineage manifests so a partition's
+    content can be validated without ordering guarantees."""
+    acc = 0
+    n = 0
+    for h in hex_digests:
+        acc ^= int(h[:32], 16)
+        n += 1
+    return f"{acc:032x}:{n}"
+
+
+def char_shingles(text: str, k: int = 5) -> set[int]:
+    """k-char shingle set, hashed to 32-bit ints (zlib-free, stable)."""
+    if len(text) < k:
+        return {hash32(text)} if text else set()
+    return {hash32(text[i : i + k]) for i in range(len(text) - k + 1)}
+
+
+def hash32(s: str) -> int:
+    """Stable 32-bit string hash (md5 prefix — not Python's salted
+    ``hash``)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "little")
+
+
+def hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+# Fixed random linear-permutation parameters for minhash (generated once
+# from a fixed seed; stable across processes).
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    # a, x < 2^32 keeps a*x+b inside uint64 before the Mersenne mod.
+    rng = np.random.RandomState(1729)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_MINHASH_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """MinHash signature over k-char shingles → uint32[num_perm]."""
+    if num_perm not in _MINHASH_CACHE:
+        _MINHASH_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _MINHASH_CACHE[num_perm]
+    sh = char_shingles(text, k)
+    if not sh:
+        return np.zeros(num_perm, dtype=np.uint32)
+    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p, min over shingles, folded to 32 bits
+    vals = (a[None, :] * x[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+    return (vals.min(axis=0) & _MINHASH_MAX).astype(np.uint32)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
+    """Split a signature into ``bands`` bands; one bucket key per band.
+    Rows sharing any band key are near-dup candidates (classic
+    MinHash-LSH banding)."""
+    rows = len(sig) // bands
+    keys = []
+    for bi in range(bands):
+        band = sig[bi * rows : (bi + 1) * rows]
+        digest = hashlib.md5(band.tobytes()).hexdigest()[:16]
+        keys.append(f"{bi}:{digest}")
+    return keys
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in tokens:
+        bits = (np.uint64(hash64(tok)) >> shifts) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    """Karp–Rabin rolling hash of the whole document (order-sensitive
+    document fingerprint)."""
+    h = 0
+    for ch in text.encode("utf-8"):
+        h = (h * base + ch) % mod
+    return h
+
+
+def ngram_set(text: str, n: int = 3) -> set[str]:
+    """Word n-gram set for Jaccard similarity."""
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0

@@ -1,0 +1,190 @@
+"""The flagship knowledge-graph construction pipeline.
+
+Streaming composition (SURVEY.md §3.4) — every stage is a Dataset
+transform, nothing materializes the corpus:
+
+    read_parquet (column-pruned) → sha256 stamp → clean+chunk
+      → extraction actor pool → grammar parse → broadcast linking
+      → mint + two-phase dedup → sorted edges / nodes Parquet
+
+``run_checkpointed`` is the production driver shape: the input is
+processed shard-by-shard (shard = one input parquet file — the
+partition unit of lineage and resume), each shard's linked triples are
+checkpointed with a manifest, and the final global dedup/sort runs over
+all shard checkpoints.  Re-running after a failure skips every shard
+whose manifest says ``done`` (reference analogue: the per-stage
+``--mode`` rerun of ``src/run.py:85-116``, made partition-granular).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import sha256_rollup
+from ..sources.alias_dict import build_fixture_dict
+from ..sources.readers import read_corpus, stamp_sha256
+from ..stages.canonicalize import materialize_edges, materialize_nodes
+from ..stages.chunk import chunk_documents
+from ..stages.extract import generate_responses
+from ..stages.link import link_triples, link_triples_shuffle
+from ..stages.parse import parse_responses
+from ..state import lineage
+
+
+@dataclass
+class KGConfig:
+    """Pipeline knobs, mirroring the reference's YAML surface
+    (``src/config/main.yaml``): chunking, extraction, matching."""
+
+    chunk_size: int = 500
+    max_chunks: int | None = None
+    extractor: str = "deterministic"  # or "hf"
+    model_name: str | None = None
+    property_query_method: str = "api"  # api | cos_similarity | mixed
+    use_aliases: bool = True
+    link_strategy: str = "broadcast"  # broadcast | shuffle
+    extract_concurrency: int | tuple = 4
+    extract_batch_size: int = 256
+    link_concurrency: int | tuple = 4
+    link_batch_size: int = 4096
+    extra: dict = field(default_factory=dict)
+
+
+def build_linked(
+    docs: ray.data.Dataset, dict_ref, cfg: KGConfig | None = None
+) -> ray.data.Dataset:
+    """documents → linked triples (no materialization anywhere)."""
+    cfg = cfg or KGConfig()
+    chunks = chunk_documents(docs, cfg.chunk_size, cfg.max_chunks)
+    responses = generate_responses(
+        chunks,
+        extractor=cfg.extractor,
+        concurrency=cfg.extract_concurrency,
+        batch_size=cfg.extract_batch_size,
+        model_name=cfg.model_name,
+    )
+    triples = parse_responses(responses)
+    if cfg.link_strategy == "shuffle":
+        return link_triples_shuffle(
+            triples,
+            dict_ref,
+            method=cfg.property_query_method,
+            use_aliases=cfg.use_aliases,
+            concurrency=cfg.link_concurrency,
+        )
+    return link_triples(
+        triples,
+        dict_ref,
+        method=cfg.property_query_method,
+        use_aliases=cfg.use_aliases,
+        concurrency=cfg.link_concurrency,
+        batch_size=cfg.link_batch_size,
+    )
+
+
+def run_streaming(
+    docs: ray.data.Dataset, cfg: KGConfig | None = None, dict_table: pa.Table | None = None
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """documents → (edges, nodes) datasets, fully streaming."""
+    dict_ref = ray.put(dict_table if dict_table is not None else build_fixture_dict())
+    linked = build_linked(stamp_sha256(docs), dict_ref, cfg)
+    edges = materialize_edges(linked)
+    nodes = materialize_nodes(edges)
+    return edges, nodes
+
+
+def _shard_rollup(stamped: ray.data.Dataset) -> tuple[str, int]:
+    """Order-insensitive sha256 rollup + row count of one shard's
+    documents (small per-block partials reduced on the driver)."""
+    parts = stamped.map_batches(
+        lambda b: pa.table(
+            {
+                "rollup": [sha256_rollup(b["doc_sha256"].to_pylist())],
+                "rows": [b.num_rows],
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    acc, total = 0, 0
+    for p in parts:
+        x, n = p["rollup"].split(":")
+        acc ^= int(x, 16)
+        total += int(n)
+    return f"{acc:032x}:{total}", total
+
+
+def run_checkpointed(
+    input_path: str,
+    workdir: str,
+    cfg: KGConfig | None = None,
+    dict_table: pa.Table | None = None,
+) -> dict:
+    """Resumable sharded run.  Returns a summary dict (shards run /
+    skipped, output paths)."""
+    cfg = cfg or KGConfig()
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet shards under {input_path}")
+    dict_ref = ray.put(dict_table if dict_table is not None else build_fixture_dict())
+
+    done = lineage.completed_shards(workdir, "linked")
+    ran, skipped = [], []
+    for i, f in enumerate(files):
+        if i in done:
+            skipped.append(i)
+            continue
+        t0 = time.time()
+        stamped = stamp_sha256(read_corpus(f)).materialize()  # one shard, bounded
+        rollup, n_docs = _shard_rollup(stamped)
+        linked = build_linked(stamped, dict_ref, cfg)
+        out_dir = lineage.shard_dir(workdir, "linked", i)
+        os.makedirs(out_dir, exist_ok=True)
+        linked.write_parquet(out_dir)
+        n_triples = ray.data.read_parquet(out_dir).count()
+        lineage.write_manifest(
+            workdir,
+            "linked",
+            i,
+            {
+                "input_file": f,
+                "docs": n_docs,
+                "rows": n_triples,
+                "content_sha256_rollup": rollup,
+                "wall_time_s": time.time() - t0,
+            },
+        )
+        ran.append(i)
+
+    # Final global materialization over all shard checkpoints.
+    t0 = time.time()
+    shard_files = []
+    for i in range(len(files)):
+        shard_files.extend(
+            sorted(glob.glob(os.path.join(lineage.shard_dir(workdir, "linked", i), "*.parquet")))
+        )
+    linked_all = ray.data.read_parquet(shard_files)
+    edges = materialize_edges(linked_all)
+    edges_dir = os.path.join(workdir, "edges")
+    edges.write_parquet(edges_dir)
+    nodes = materialize_nodes(ray.data.read_parquet(edges_dir))
+    nodes_dir = os.path.join(workdir, "nodes")
+    nodes.write_parquet(nodes_dir)
+    lineage.write_manifest(
+        workdir,
+        "final",
+        0,
+        {"edges_dir": edges_dir, "nodes_dir": nodes_dir, "wall_time_s": time.time() - t0},
+    )
+    return {
+        "shards_ran": ran,
+        "shards_skipped": skipped,
+        "edges_dir": edges_dir,
+        "nodes_dir": nodes_dir,
+    }

@@ -1,0 +1,60 @@
+"""Dataset sources: corpus reader, sha256 stamping, testdata adapter.
+
+The read is the first place to prune: ``columns=`` is always threaded
+through so a 2-column transform never ships 5 columns off storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import sha256_hex_batch
+
+
+def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a ``(repo, path, commit, lang, content)`` corpus directory."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _stamp_batch(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "doc_sha256", pa.array(sha256_hex_batch(batch["content"].to_pylist()), pa.string())
+    )
+
+
+def stamp_sha256(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Add the per-row ``doc_sha256`` invariant column (BASELINE.json
+    per-row invariant: content sha256 equality input → lineage)."""
+    return ds.map_batches(_stamp_batch, batch_format="pyarrow")
+
+
+def _adapt_documents_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    sources = batch["source"].to_pylist()
+    paths = [f"doc_{d}.txt" for d in doc_ids]
+    commits = [
+        hashlib.sha1(f"{s}/{p}".encode("utf-8")).hexdigest()
+        for s, p in zip(sources, paths)
+    ]
+    return pa.table(
+        {
+            "repo": batch["source"],
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": batch["lang"],
+            "content": batch["text"],
+        }
+    )
+
+
+def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Adapt the driver testdata ``documents`` table (``doc_id, text,
+    lang, source, n_chars``) to the canonical corpus shape (FIXTURES.md
+    §1 note: adapter for smoke/correctness runs)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(_adapt_documents_batch, batch_format="pyarrow")

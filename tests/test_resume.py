@@ -1,0 +1,69 @@
+"""Resume semantics (SURVEY.md §5.2.5): a rerun after partial completion
+skips finished shards (manifest hits) and produces identical final
+edges; shard manifests carry the content-sha256 rollup of their input."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import (
+    sha256_hex,
+    sha256_rollup,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.pipelines.kg import (
+    KGConfig,
+    run_checkpointed,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.sources.corpus import write_corpus
+from knowledge_graph_creation_from_text_with_llms_ray.state import lineage
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(d), n_docs=120, shards=4)
+    return str(d)
+
+
+def _read_edges(workdir):
+    t = pq.read_table(os.path.join(workdir, "edges"))
+    return sorted(
+        zip(*(t[c].to_pylist() for c in ("subject_id", "predicate_id", "object_id", "is_literal")))
+    )
+
+
+def test_checkpointed_run_and_resume(corpus_dir, tmp_path):
+    wd = str(tmp_path / "wd")
+    cfg = KGConfig(extract_concurrency=2, link_concurrency=2)
+
+    summary1 = run_checkpointed(corpus_dir, wd, cfg)
+    assert summary1["shards_ran"] == [0, 1, 2, 3]
+    edges1 = _read_edges(wd)
+    assert edges1
+
+    # simulate a crash that lost shard 2's checkpoint + the final stage
+    shutil.rmtree(lineage.shard_dir(wd, "linked", 2))
+    os.remove(lineage.manifest_path(wd, "linked", 2))
+    shutil.rmtree(os.path.join(wd, "edges"))
+    shutil.rmtree(os.path.join(wd, "nodes"))
+
+    summary2 = run_checkpointed(corpus_dir, wd, cfg)
+    assert summary2["shards_ran"] == [2]
+    assert summary2["shards_skipped"] == [0, 1, 3]
+    assert _read_edges(wd) == edges1  # byte-stable final output
+
+
+def test_manifest_sha_rollup_matches_input(corpus_dir, tmp_path):
+    wd = str(tmp_path / "wd2")
+    run_checkpointed(corpus_dir, wd, KGConfig(extract_concurrency=2, link_concurrency=2))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    for i, f in enumerate(files):
+        man = lineage.load_manifest(wd, "linked", i)
+        assert man is not None
+        contents = pq.read_table(f, columns=["content"])["content"].to_pylist()
+        expected = sha256_rollup(sha256_hex(c) for c in contents)
+        assert man["content_sha256_rollup"] == expected
+        assert man["docs"] == len(contents)
