@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Default: time the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in one Ray session
+(``num_cpus=$RAY_GRAFT_CPUS`` or 32) and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the flagship KG pipeline twice in FRESH processes at
+N and 4N CPUs (default 8 vs 32) over the same deterministic synthetic
+corpus, report triples/s at each level plus scaling efficiency
+(BASELINE.json north rule; sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_CORPUS = "/tmp/kgray_bench_corpus"
+SCALING_DOCS = 20000
+
+HEADLINE = [
+    "kg_edges",
+    "kg_nodes",
+    "rel_q1",
+    "rel_multijoin",
+    "rel_window_events",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "sim_topk_brute",
+    "text_stats",
+]
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_headline() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines import queries as q
+
+    qs = q.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        rows[name] = _consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    # end-to-end triples/sec for the flagship (edges row count is the
+    # deduped graph; triples processed is the parse-stage output)
+    out = {
+        "metric": "headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling_worker(num_cpus: int) -> None:
+    """Fresh-process leg of the scaling experiment: full KG pipeline
+    (read → chunk → extract → parse → link → dedup edges) over the
+    shared synthetic corpus."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.kg import (
+        KGConfig,
+        run_streaming,
+    )
+
+    docs = ray.data.read_parquet(SCALING_CORPUS)
+    cfg = KGConfig(
+        extract_concurrency=(1, max(2, num_cpus - 2)),
+        link_concurrency=(1, max(2, num_cpus // 2)),
+    )
+    t0 = time.time()
+    edges, _nodes = run_streaming(docs, cfg)
+    n_edges = edges.count()
+    elapsed = time.time() - t0
+    # triples/sec: count surviving deduped edges plus re-derive total
+    # triples via provenance counts (sum of counts = parsed triples)
+    total_triples = int(
+        edges.map_batches(
+            lambda b: {"s": [sum(b["provenance_count"].to_pylist())]},
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    print(
+        json.dumps(
+            {
+                "num_cpus": num_cpus,
+                "elapsed_sec": round(elapsed, 3),
+                "edges": n_edges,
+                "triples": total_triples,
+                "triples_per_sec": round(total_triples / elapsed, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def ensure_scaling_corpus() -> None:
+    if os.path.isdir(SCALING_CORPUS) and os.listdir(SCALING_CORPUS):
+        return
+    from knowledge_graph_creation_from_text_with_llms_ray.sources.corpus import (
+        write_corpus,
+    )
+
+    write_corpus(SCALING_CORPUS, n_docs=SCALING_DOCS, shards=64)
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    ensure_scaling_corpus()
+    results = []
+    for n in levels:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(n)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    lo, hi = results[0], results[-1]
+    ratio = hi["num_cpus"] / lo["num_cpus"]
+    efficiency = (hi["triples_per_sec"] / lo["triples_per_sec"]) / ratio
+    return {
+        "metric": "KG pipeline triples/sec scaling",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"cpus_{r['num_cpus']}": r["elapsed_sec"] for r in results
+        },
+        "sf": SCALING_CORPUS,
+        "num_cpus": hi["num_cpus"],
+        "levels": results,
+        "scaling_efficiency": round(efficiency, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-worker", type=int, default=None)
+    args = ap.parse_args()
+    if args.scaling_worker is not None:
+        run_scaling_worker(args.scaling_worker)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling()))
+        return
+    print(json.dumps(run_headline()))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,9 +50,9 @@ class KGConfig:
     property_query_method: str = "api"  # api | cos_similarity | mixed
     use_aliases: bool = True
     link_strategy: str = "broadcast"  # broadcast | shuffle
-    extract_concurrency: int | tuple = 4
+    extract_concurrency: int | tuple = (1, 4)
     extract_batch_size: int = 256
-    link_concurrency: int | tuple = 4
+    link_concurrency: int | tuple = (1, 4)
     link_batch_size: int = 4096
     extra: dict = field(default_factory=dict)
 

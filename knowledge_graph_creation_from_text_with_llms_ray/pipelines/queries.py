@@ -1,0 +1,805 @@
+"""The driver-facing query suite: one entry per operator, each paired
+(where SQL-expressible) with a DuckDB oracle that computes the same
+result over the same parquet tables.
+
+Column names are part of the contract: the driver's comparator sorts
+columns by name and hashes values, so every computed column is named
+identically here and in the SQL.
+
+Float discipline (so value-hashes match across engines):
+
+* money/quantity aggregates go through integer cents —
+  ``floor(x*100 + 0.5)`` per row (half-up in both engines; numpy's
+  ``round`` is banker's and is NOT used), summed as int64, divided by
+  100.0 only at the end with the same expression shape as the SQL;
+* cosine scores are never emitted — similarity results compare
+  (query_id, vec_id, rank), ranked with a deterministic tie-break,
+  because DuckDB's ``list_cosine_similarity`` and numpy disagree at
+  ~1e-7 (measured) while neighbor spacing is ~1e-4.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..sources.alias_dict import build_fixture_dict, sql_values_cte
+from ..sources.readers import documents_as_corpus
+from ..stages import analysis, dedup, multimodal, relational, similarity
+from ..stages.chunk import chunk_documents
+from ..stages.extract import generate_responses
+from ..stages.link import distinct_surfaces, link_triples, link_triples_shuffle
+from ..stages.parse import parse_responses
+from ..stages.canonicalize import materialize_edges, materialize_nodes
+
+CHUNK_SIZE = 500
+
+
+# --------------------------------------------------------------------------
+# Shared pipeline fragments
+# --------------------------------------------------------------------------
+
+def _triples(sf_dir: str) -> ray.data.Dataset:
+    docs = documents_as_corpus(sf_dir)
+    chunks = chunk_documents(docs, CHUNK_SIZE)
+    return parse_responses(generate_responses(chunks, concurrency=(1, 4)))
+
+
+def _linked(sf_dir: str, strategy: str = "broadcast") -> ray.data.Dataset:
+    t = _triples(sf_dir)
+    dict_ref = ray.put(build_fixture_dict())
+    if strategy == "shuffle":
+        # The hash-join aggregators need CPU headroom alongside the
+        # upstream actor pools; keep partitions small at test scale
+        # (and materialize upstream so the join starts with free CPUs).
+        t = t.materialize()
+        return link_triples_shuffle(t, dict_ref, num_partitions=2)
+    return link_triples(t, dict_ref)
+
+
+# --------------------------------------------------------------------------
+# KG pipeline queries
+# --------------------------------------------------------------------------
+
+def q_kg_chunks(sf_dir: str):
+    docs = documents_as_corpus(sf_dir)
+    return chunk_documents(docs, CHUNK_SIZE).select_columns(
+        ["repo", "path", "chunk_id", "chunk_text"]
+    )
+
+
+def q_kg_triples(sf_dir: str):
+    return _triples(sf_dir).select_columns(
+        ["path", "chunk_id", "subject", "predicate", "object"]
+    )
+
+
+def q_kg_linked(sf_dir: str):
+    return _linked(sf_dir).select_columns(
+        [
+            "subject",
+            "predicate",
+            "object",
+            "subject_id",
+            "predicate_id",
+            "object_id",
+            "is_literal",
+        ]
+    )
+
+
+def q_kg_edges(sf_dir: str):
+    return materialize_edges(_linked(sf_dir))
+
+
+def q_kg_edges_shuffle(sf_dir: str):
+    """Same result as q_kg_edges through the shuffle-join linking path
+    (distinct surfaces → resolve once → 3 hash joins) — the same oracle
+    SQL verifies both strategies."""
+    return materialize_edges(_linked(sf_dir, strategy="shuffle"))
+
+
+def q_kg_nodes(sf_dir: str):
+    return materialize_nodes(materialize_edges(_linked(sf_dir)))
+
+
+def q_kg_distinct_surfaces(sf_dir: str):
+    return distinct_surfaces(_triples(sf_dir))
+
+
+def q_kg_property_matches(sf_dir: str):
+    """Top-10 property candidates per distinct predicate (the S7
+    diagnostic sink re-expressed).  Embedding scores → rows-only check."""
+    from ..functions.embedding import encode_batch
+    from ..sources.alias_dict import ResolvedDict
+
+    preds = distinct_surfaces(_triples(sf_dir)).filter(expr="kind == 'property'")
+    dict_ref = ray.put(build_fixture_dict())
+
+    class TopKActor:
+        def __init__(self):
+            self.rd = ResolvedDict(ray.get(dict_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            surfaces = batch["surface"].to_pylist()
+            vecs = encode_batch(surfaces)
+            results = self.rd.top_k_properties(vecs, k=10)
+            o_pred, o_pos, o_id, o_text = [], [], [], []
+            for s, matches in zip(surfaces, results):
+                for pos, (pid, text, _sim) in enumerate(matches, 1):
+                    o_pred.append(s)
+                    o_pos.append(pos)
+                    o_id.append(pid)
+                    o_text.append(text)
+            return pa.table(
+                {
+                    "predicate": pa.array(o_pred, pa.string()),
+                    "match_rank": pa.array(o_pos, pa.int32()),
+                    "property_id": pa.array(o_id, pa.string()),
+                    "matched_text": pa.array(o_text, pa.string()),
+                }
+            )
+
+    return preds.map_batches(TopKActor, batch_format="pyarrow", concurrency=(1, 2))
+
+
+# --------------------------------------------------------------------------
+# Relational queries (TPC-H-flavored, exercising the scale patterns)
+# --------------------------------------------------------------------------
+
+_SHIP_CUTOFF = datetime.datetime(1998, 9, 2)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — matches SQL half-up rounding."""
+    scaled = pc.add(pc.multiply(pc.cast(arr, pa.float64()), 100.0), 0.5)
+    return pc.floor(scaled).cast(pa.int64())
+
+
+def q_rel_q1(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(_SHIP_CUTOFF)))
+        price = pc.cast(b["l_extendedprice"], pa.float64())
+        disc = pc.cast(b["l_discount"], pa.float64())
+        tax = pc.cast(b["l_tax"], pa.float64())
+        charge = pc.multiply(
+            pc.multiply(price, pc.subtract(1.0, disc)), pc.add(1.0, tax)
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": _cents(b["l_quantity"]),
+                "price_c": _cents(b["l_extendedprice"]),
+                "disc_c": _cents(b["l_discount"]),
+                "charge_c": _cents(charge),
+            }
+        )
+
+    agg = relational.pre_aggregated(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty_c": "qty_c:sum",
+            "sum_price_c": "price_c:sum",
+            "sum_disc_c": "disc_c:sum",
+            "sum_charge_c": "charge_c:sum",
+            "count_order": "qty_c:count",
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b["count_order"], pa.float64())
+        sum_qty = pc.divide(pc.cast(b["sum_qty_c"], pa.float64()), 100.0)
+        sum_price = pc.divide(pc.cast(b["sum_price_c"], pa.float64()), 100.0)
+        sum_charge = pc.divide(pc.cast(b["sum_charge_c"], pa.float64()), 100.0)
+        avg_disc = pc.divide(
+            pc.divide(pc.cast(b["sum_disc_c"], pa.float64()), 100.0), cnt
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": sum_qty,
+                "sum_base_price": sum_price,
+                "sum_charge": sum_charge,
+                "avg_qty": pc.divide(sum_qty, cnt),
+                "avg_price": pc.divide(sum_price, cnt),
+                "avg_disc": avg_disc,
+                "count_order": b["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_rel_q6(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_discount"], 0.05),
+                pc.less_equal(b["l_discount"], 0.07),
+            ),
+            pc.less(b["l_quantity"], 24.0),
+        )
+        b = b.filter(mask)
+        rev = pc.multiply(
+            pc.cast(b["l_extendedprice"], pa.float64()),
+            pc.cast(b["l_discount"], pa.float64()),
+        )
+        return pa.table({"rev_c": _cents(rev), "one": pa.array([1] * b.num_rows, pa.int64())})
+
+    agg = relational.pre_aggregated(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["one"],
+        aggs={"rev_c_sum": "rev_c:sum"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"revenue": pc.divide(pc.cast(b["rev_c_sum"], pa.float64()), 100.0)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_rel_join_agg(sf_dir: str):
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = relational.broadcast_join(
+        orders, cust, keys=["o_custkey"], right_keys=["c_custkey"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_mktsegment": b["c_mktsegment"], "price_c": _cents(b["o_totalprice"])}
+        )
+
+    agg = relational.pre_aggregated(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        keys=["c_mktsegment"],
+        aggs={"revenue_c": "price_c:sum", "n_orders": "price_c:count"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"],
+                "revenue": pc.divide(pc.cast(b["revenue_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_rel_multijoin(sf_dir: str):
+    """lineitem ⋈ supplier ⋈ nation ⋈ region: the three dimension
+    tables are pre-joined driver-side (they are tiny) into ONE broadcast
+    table — one shuffle-free probe per batch instead of three."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dims = supp.join(nation, keys=["s_nationkey"], right_keys=["n_nationkey"]).join(
+        region, keys=["n_regionkey"], right_keys=["r_regionkey"]
+    )
+    dims = dims.select(["s_suppkey", "n_name", "r_name"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = relational.broadcast_join(li, dims, keys=["l_suppkey"], right_keys=["s_suppkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(b["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(b["l_discount"], pa.float64())),
+        )
+        return pa.table(
+            {"r_name": b["r_name"], "n_name": b["n_name"], "rev_c": _cents(rev)}
+        )
+
+    agg = relational.pre_aggregated(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        keys=["r_name", "n_name"],
+        aggs={"revenue_c": "rev_c:sum", "n_items": "rev_c:count"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": b["r_name"],
+                "n_name": b["n_name"],
+                "n_items": b["n_items"],
+                "revenue": pc.divide(pc.cast(b["revenue_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_rel_topk_orders(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    return relational.topk(
+        ds, ["o_totalprice", "o_orderkey"], k=10, descending=[True, False]
+    )
+
+
+def q_rel_filter_project(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    return ds.filter(
+        expr="l_discount >= 0.05 and l_discount <= 0.07 and l_quantity < 24.0"
+    )
+
+
+def q_rel_window_events(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                "value_c": _cents(b["value"]),
+            }
+        )
+
+    agg = relational.pre_aggregated(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        aggs={"value_sum_c": "value_c:sum", "n_events": "value_c:count"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "hour": b["hour"],
+                "n_events": b["n_events"],
+                "value_sum": pc.divide(pc.cast(b["value_sum_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_rel_props_extract(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(b["props"], r'"k": (?P<k>[0-9]+)')
+        kvals = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": kvals})
+
+    agg = relational.pre_aggregated(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={"sum_k": "k:sum", "n_events": "k:count"},
+    )
+    return agg
+
+
+def q_rel_distinct_segments(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    return relational.distinct(ds, ["c_mktsegment"])
+
+
+# --------------------------------------------------------------------------
+# Dedup / text-analysis / similarity / multimodal queries
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.exact_dedup(ds)
+
+
+def q_dedup_fingerprint(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.fingerprint_dedup(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(ds, threshold=0.4, concurrency=(1, 2))
+
+
+def q_dedup_simhash(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.simhash_pairs(ds, max_hamming=8)
+
+
+def q_dedup_ngram(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, threshold=0.3, lsh_threshold=0.2, concurrency=(1, 2))
+
+
+def q_dedup_embedding(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # testdata embeddings are near-random (measured max pairwise cosine
+    # ≈0.47) — threshold tuned so the op has observable output.
+    return dedup.embedding_near_dup_pairs(ds, threshold=0.35, planes=6)
+
+
+def q_text_stats(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analysis.text_stats(ds).select_columns(
+        ["doc_id", "n_tokens", "n_chars_computed", "n_tokens_bpe", "punct_ratio", "quality"]
+    )
+
+
+def q_text_langid(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return analysis.language_id(ds).select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
+
+
+def q_text_sha256(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analysis.fingerprints(ds).select_columns(["doc_id", "sha256"])
+
+
+def q_text_fingerprints(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analysis.fingerprints(ds)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "sha256": b["sha256"],
+                "simhash_hex": pa.array(
+                    [f"{h:016x}" for h in b["simhash"].to_pylist()], pa.string()
+                ),
+                "rolling_fp": b["rolling_fp"],
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    ids = t["vec_id"].to_pylist()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def q_sim_topk_brute(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, mat = _query_vectors(sf_dir)
+    out = similarity.knn_brute_force(ds, ids, mat, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_sim_topk_ivf(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, mat = _query_vectors(sf_dir)
+    out = similarity.knn_ivf(ds, ids, mat, k=10, n_cells=16, nprobe=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_mm_features(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = multimodal.attach_fake_payloads(ds)
+    decoded = multimodal.decode_features(media, concurrency=(1, 2))
+    return decoded.select_columns(
+        ["media_id", "media_type", "width", "height", "n_frames"]
+    )
+
+
+def q_mm_frame_sample(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = multimodal.attach_fake_payloads(ds)
+    return multimodal.frame_sample(media, every_nth=8)
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL
+# --------------------------------------------------------------------------
+
+def _kg_cte() -> str:
+    return f"""
+WITH base AS (
+  SELECT source AS repo, 'doc_' || doc_id || '.txt' AS path, text, length(text) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT repo, path, 1 AS chunk_id,
+         CASE WHEN n + 1 <= {CHUNK_SIZE} THEN text ELSE '' END AS chunk_text
+  FROM base WHERE n > 0
+  UNION ALL
+  SELECT repo, path, 2 AS chunk_id, text AS chunk_text
+  FROM base WHERE n + 1 > {CHUNK_SIZE}
+),
+m AS (
+  SELECT path, chunk_id,
+         unnest(regexp_extract_all(chunk_text,
+           '[a-z]+ (?:join|merge|sort|filter|scan|group) [a-z]+')) AS hit
+  FROM chunks
+),
+triples AS (
+  SELECT path, chunk_id,
+         string_split(hit, ' ')[1] AS subject,
+         string_split(hit, ' ')[2] AS predicate,
+         string_split(hit, ' ')[3] AS object
+  FROM m
+),
+dict(id, kind, label, alias, rank) AS (VALUES
+    {sql_values_cte()}
+),
+resolved AS (
+  SELECT kind, lower(alias) AS key, id,
+         row_number() OVER (
+           PARTITION BY kind, lower(alias)
+           ORDER BY (alias = label) DESC, rank, id
+         ) AS rn
+  FROM dict
+),
+win AS (SELECT kind, key, id FROM resolved WHERE rn = 1),
+linked AS (
+  SELECT t.subject, t.predicate, t.object,
+         s.id AS subject_id, p.id AS predicate_id, o.id AS object_id,
+         o.id IS NULL AS is_literal
+  FROM triples t
+  LEFT JOIN win s ON s.kind = 'entity' AND s.key = lower(t.subject)
+  LEFT JOIN win p ON p.kind = 'property' AND p.key = lower(t.predicate)
+  LEFT JOIN win o ON o.kind = 'entity' AND o.key = lower(t.object)
+),
+edges_raw AS (
+  SELECT CASE WHEN subject_id IS NOT NULL
+              THEN 'http://www.wikidata.org/entity/' || subject_id
+              ELSE 'http://example.org/entity/' || subject END AS subject_id,
+         CASE WHEN predicate_id IS NOT NULL
+              THEN 'http://www.wikidata.org/prop/direct/' || predicate_id
+              ELSE 'http://example.org/property/' || lower(replace(predicate, ' ', '_'))
+              END AS predicate_id,
+         CASE WHEN object_id IS NOT NULL
+              THEN 'http://www.wikidata.org/entity/' || object_id
+              ELSE object END AS object_id,
+         is_literal
+  FROM linked
+),
+edges AS (
+  SELECT subject_id, predicate_id, object_id, is_literal,
+         count(*) AS provenance_count
+  FROM edges_raw GROUP BY 1, 2, 3, 4
+)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    kg = _kg_cte()
+    return {
+        "kg_chunks": kg + "SELECT repo, path, chunk_id, chunk_text FROM chunks",
+        "kg_triples": kg
+        + "SELECT path, chunk_id, subject, predicate, object FROM triples",
+        "kg_linked": kg
+        + "SELECT subject, predicate, object, subject_id, predicate_id, object_id,"
+        " is_literal FROM linked",
+        "kg_edges": kg + "SELECT * FROM edges",
+        "kg_edges_shuffle": kg + "SELECT * FROM edges",
+        "kg_nodes": kg
+        + """,
+nodes_src AS (
+  SELECT subject_id AS node_id FROM edges_raw
+  UNION
+  SELECT object_id FROM edges_raw WHERE NOT is_literal
+)
+SELECT node_id,
+  CASE WHEN node_id LIKE 'http://www.wikidata.org/%' THEN 'wikidata'
+       ELSE 'local' END AS kind,
+  CASE WHEN regexp_matches(node_id, '[QP][0-9]+$')
+       THEN regexp_extract(node_id, '[QP][0-9]+$')
+       ELSE replace(regexp_extract(node_id, '[^/]*$'), '_', ' ') END AS label
+FROM nodes_src""",
+        "kg_distinct_surfaces": kg
+        + """
+SELECT DISTINCT * FROM (
+  SELECT 'entity' AS kind, subject AS surface FROM triples
+  UNION SELECT 'entity', object FROM triples
+  UNION SELECT 'property', predicate FROM triples
+)""",
+        "rel_q1": """
+WITH f AS (
+  SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+),
+c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+    CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charge_c
+  FROM f
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum(charge_c) AS DOUBLE) / 100.0 AS sum_charge,
+  (CAST(sum(qty_c) AS DOUBLE) / 100.0) / count(*) AS avg_qty,
+  (CAST(sum(price_c) AS DOUBLE) / 100.0) / count(*) AS avg_price,
+  (CAST(sum(disc_c) AS DOUBLE) / 100.0) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM c GROUP BY l_returnflag, l_linestatus""",
+        "rel_q6": """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""",
+        "rel_join_agg": """
+SELECT c_mktsegment,
+  count(*) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+        "rel_multijoin": """
+SELECT r_name, n_name,
+  count(*) AS n_items,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+        "rel_topk_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "rel_filter_project": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""",
+        "rel_window_events": """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+  count(*) AS n_events,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "rel_props_extract": """
+SELECT event_type,
+  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  count(*) AS n_events
+FROM events GROUP BY event_type""",
+        "rel_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "dedup_exact": """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1""",
+        "dedup_fingerprint": """
+SELECT doc_id, md5(text) AS fingerprint FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1""",
+        "text_stats": """
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  length(text) AS n_chars_computed,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS n_tokens_bpe,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS DOUBLE)
+            / length(text) END AS punct_ratio,
+  LEAST(GREATEST(
+    LEAST(GREATEST(CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 50.0, 0.0), 1.0)
+    * LEAST(GREATEST(LEAST(GREATEST(2000.0 / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 0.0), 1.0), 0.2), 1.0)
+    - LEAST(GREATEST((CASE WHEN length(text) = 0 THEN 0.0
+        ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS DOUBLE) / length(text) END) * 2.0, 0.0), 0.5)
+  , 0.0), 1.0) AS quality
+FROM documents""",
+        "text_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "sim_topk_brute": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding) AS score
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 10""",
+        "mm_features": """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+  CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 16 + doc_id % 64 END AS INT) AS n_frames
+FROM documents""",
+        "mm_frame_sample": """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_index
+FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) v,
+     unnest(generate_series(0, v.n - 1, 8)) AS t(f)""",
+    }
+
+
+def queries():
+    return {
+        "kg_chunks": q_kg_chunks,
+        "kg_triples": q_kg_triples,
+        "kg_linked": q_kg_linked,
+        "kg_edges": q_kg_edges,
+        "kg_edges_shuffle": q_kg_edges_shuffle,
+        "kg_nodes": q_kg_nodes,
+        "kg_distinct_surfaces": q_kg_distinct_surfaces,
+        "kg_property_matches": q_kg_property_matches,
+        "rel_q1": q_rel_q1,
+        "rel_q6": q_rel_q6,
+        "rel_join_agg": q_rel_join_agg,
+        "rel_multijoin": q_rel_multijoin,
+        "rel_topk_orders": q_rel_topk_orders,
+        "rel_filter_project": q_rel_filter_project,
+        "rel_window_events": q_rel_window_events,
+        "rel_props_extract": q_rel_props_extract,
+        "rel_distinct_segments": q_rel_distinct_segments,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_embedding": q_dedup_embedding,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_sha256": q_text_sha256,
+        "text_fingerprints": q_text_fingerprints,
+        "sim_topk_brute": q_sim_topk_brute,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
+    }

@@ -125,6 +125,26 @@ def load_dict(path: str, use_aliases: bool = True) -> pa.Table:
     return t
 
 
+def sql_values_cte(table: pa.Table | None = None) -> str:
+    """Render the dictionary as a SQL VALUES list — the oracle side of
+    the correctness gate embeds the SAME rows the pipeline broadcasts,
+    so linking is verified end-to-end against DuckDB."""
+    t = table or build_fixture_dict()
+    rows = []
+    for id_, kind, label, alias, rank in zip(
+        t["id"].to_pylist(),
+        t["kind"].to_pylist(),
+        t["label"].to_pylist(),
+        t["alias"].to_pylist(),
+        t["rank"].to_pylist(),
+    ):
+        esc = lambda s: s.replace("'", "''")
+        rows.append(
+            f"('{esc(id_)}', '{esc(kind)}', '{esc(label)}', '{esc(alias)}', {rank})"
+        )
+    return ",\n    ".join(rows)
+
+
 class ResolvedDict:
     """Precomputed lookup structures built once per linker actor from
     the broadcast table: surface key → winning id, plus embedding

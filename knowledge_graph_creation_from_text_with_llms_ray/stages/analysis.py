@@ -1,0 +1,84 @@
+"""Text-analysis stages: stats/quality, language ID, fingerprints.
+
+Arrow-kernel-vectorized where possible (token/char/punct counts are
+pure ``pyarrow.compute``); per-row Python only where a kernel doesn't
+exist (language profiles, rolling hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import rolling_fingerprint, sha256_hex_batch, simhash64
+from ..functions.textstats import (
+    bpe_ish_token_count,
+    detect_language,
+    punct_ratio,
+    quality_score,
+    whitespace_token_count,
+)
+
+
+def _stats_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    texts = batch[text_col]
+    n_tokens = whitespace_token_count(texts)
+    n_chars = pc.utf8_length(texts).cast(pa.int64())
+    punct = punct_ratio(texts)
+    bpe = pa.array(
+        [bpe_ish_token_count(t or "") for t in texts.to_pylist()], pa.int64()
+    )
+    quality = quality_score(
+        np.asarray(n_tokens, dtype=np.float64),
+        np.asarray(n_chars, dtype=np.float64),
+        np.asarray(punct, dtype=np.float64),
+    )
+    return (
+        batch.append_column("n_tokens", n_tokens)
+        .append_column("n_chars_computed", n_chars)
+        .append_column("n_tokens_bpe", bpe)
+        .append_column("punct_ratio", punct)
+        .append_column("quality", pa.array(quality, pa.float64()))
+    )
+
+
+def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        _stats_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+
+
+def _langid_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    preds = [detect_language(t or "") for t in batch[text_col].to_pylist()]
+    return batch.append_column(
+        "lang_pred", pa.array([p[0] for p in preds], pa.string())
+    ).append_column("lang_conf", pa.array([p[1] for p in preds], pa.float64()))
+
+
+def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        _langid_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+
+
+def _fingerprint_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    return (
+        batch.append_column("sha256", pa.array(sha256_hex_batch(texts), pa.string()))
+        .append_column(
+            "simhash",
+            pa.array(np.asarray([simhash64(t) for t in texts], dtype=np.uint64)),
+        )
+        .append_column(
+            "rolling_fp",
+            pa.array([f"{rolling_fingerprint(t):016x}" for t in texts], pa.string()),
+        )
+    )
+
+
+def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        _fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )

@@ -49,34 +49,41 @@ def _mint_batch(batch: pa.Table) -> pa.Table:
     pids = batch["predicate_id"].to_pylist()
     oids = batch["object_id"].to_pylist()
 
-    rows = set()
+    # Local combine inside the batch: one row per distinct edge with a
+    # partial count — hot edges collapse before they ever hit the
+    # shuffle, and the global sum of partials equals the true
+    # occurrence count (associative two-phase aggregation).
+    counts: dict[tuple, int] = {}
     for s, p, o, sid, pid, oid in zip(subs, preds, objs, sids, pids, oids):
-        rows.add(mint_edge(s, p, o, sid, pid, oid))
-    # Local dedup inside the batch is the combiner phase of the global
-    # distinct — hot edges collapse before they ever hit the shuffle.
-    su, pu, ou, lit = ([r[i] for r in rows] for i in range(4))
+        key = mint_edge(s, p, o, sid, pid, oid)
+        counts[key] = counts.get(key, 0) + 1
+    rows = list(counts.items())
+    su, pu, ou, lit = ([r[0][i] for r in rows] for i in range(4))
     return pa.table(
         {
             "subject_id": pa.array(su, pa.string()),
             "predicate_id": pa.array(pu, pa.string()),
             "object_id": pa.array(ou, pa.string()),
             "is_literal": pa.array(lit, pa.bool_()),
+            "partial_count": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
 
 
-def _rename_count(batch: pa.Table, name: str) -> pa.Table:
+def _rename_col(batch: pa.Table, old: str, new: str) -> pa.Table:
     return batch.rename_columns(
-        [name if c == "count()" else c for c in batch.column_names]
+        [new if c == old else c for c in batch.column_names]
     )
 
 
 def materialize_edges(linked: ray.data.Dataset) -> ray.data.Dataset:
     """linked triples → deduplicated, deterministically sorted edges."""
     minted = linked.map_batches(_mint_batch, batch_format="pyarrow")
-    deduped = minted.groupby(EDGE_KEY).count()
+    deduped = minted.groupby(EDGE_KEY).sum("partial_count")
     deduped = deduped.map_batches(
-        _rename_count, batch_format="pyarrow", fn_kwargs={"name": "provenance_count"}
+        _rename_col,
+        batch_format="pyarrow",
+        fn_kwargs={"old": "sum(partial_count)", "new": "provenance_count"},
     )
     return deduped.sort(EDGE_KEY)
 

@@ -98,7 +98,7 @@ class HFTripleExtractor:
 def generate_responses(
     ds: ray.data.Dataset,
     extractor: str = "deterministic",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 256,
     model_name: str | None = None,
     num_gpus: float | None = None,

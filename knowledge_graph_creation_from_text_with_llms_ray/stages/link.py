@@ -105,7 +105,7 @@ def link_triples(
     dict_ref,
     method: str = "api",
     use_aliases: bool = True,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """triples → linked triples (broadcast strategy, shuffle-free)."""
@@ -174,7 +174,7 @@ def link_triples_shuffle(
     dict_ref,
     method: str = "api",
     use_aliases: bool = True,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Shuffle strategy: distinct surfaces → resolve once per key →

@@ -1,0 +1,144 @@
+"""Generic relational operators, Ray-Data-first.
+
+The engine's general query capabilities (filters, projections,
+aggregations, joins, top-k) expressed with the scale patterns this repo
+standardizes on:
+
+* ``broadcast_join`` — small side ``ray.put`` once, per-batch
+  ``pyarrow.Table.join`` (vectorized, zero shuffle of the big side);
+* ``pre_aggregated`` — per-batch partial aggregation with Arrow
+  ``TableGroupBy`` before the global groupby, so the all-to-all
+  exchange carries one row per (key, block) instead of one per input
+  row — this is the combiner/salting pattern;
+* ``topk`` — per-block local top-k, then a tiny global sort+limit.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_PARTIAL_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+class _BroadcastJoiner:
+    def __init__(self, right_ref, keys, right_keys, join_type):
+        right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
+        self.right = right
+        self.keys = keys
+        self.right_keys = right_keys
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.right,
+            keys=self.keys,
+            right_keys=self.right_keys,
+            join_type=self.join_type,
+        )
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    right: pa.Table,
+    keys: list[str],
+    right_keys: list[str] | None = None,
+    join_type: str = "inner",
+    concurrency: int | tuple = (1, 4),
+    batch_size: int | None = 8192,
+) -> ray.data.Dataset:
+    """Hash-join each streaming batch against a broadcast small side."""
+    right_ref = ray.put(right)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "right_ref": right_ref,
+            "keys": keys,
+            "right_keys": right_keys,
+            "join_type": join_type,
+        },
+    )
+
+
+def _partial_agg(batch: pa.Table, keys: list[str], aggs: dict[str, str]) -> pa.Table:
+    """Arrow-native per-batch combine: one grouped row per key/block."""
+    specs = []
+    names = []
+    for out_name, spec in aggs.items():
+        col, fn = spec.split(":")
+        if fn == "count":
+            specs.append((col, "count"))
+        else:
+            specs.append((col, fn))
+        names.append(out_name)
+    grouped = batch.group_by(keys).aggregate(specs)
+    renames = {}
+    for (col, fn), out_name in zip(specs, names):
+        renames[f"{col}_{fn}"] = out_name
+    return grouped.rename_columns(
+        [renames.get(c, c) for c in grouped.column_names]
+    )
+
+
+def pre_aggregated(
+    ds: ray.data.Dataset, keys: list[str], aggs: dict[str, str]
+) -> ray.data.Dataset:
+    """Two-phase distributed aggregation.
+
+    ``aggs`` maps output column name → ``"col:fn"`` with fn ∈
+    sum|count|min|max (mean = sum+count then divide downstream).
+    Phase 1 combines inside each batch (Arrow kernels); phase 2 merges
+    partials with the matching associative function in a Ray groupby.
+    """
+    partial = ds.map_batches(
+        _partial_agg, batch_format="pyarrow", fn_kwargs={"keys": keys, "aggs": aggs}
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    merge_aggs = []
+    for out_name, spec in aggs.items():
+        fn = spec.split(":")[1]
+        merge_fn = _PARTIAL_OF[fn]
+        cls = {"sum": Sum, "min": Min, "max": Max}[merge_fn]
+        merge_aggs.append(cls(out_name, alias_name=out_name))
+    return partial.groupby(keys).aggregate(*merge_aggs)
+
+
+def topk(
+    ds: ray.data.Dataset,
+    keys: str | list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+) -> ray.data.Dataset:
+    """Global top-k without a global sort of the data: per-block local
+    top-k partials, then sort+limit over the tiny remainder.  Pass a
+    trailing unique key (e.g. the row id) to make ties deterministic."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
+    sort_keys = [
+        (key, "descending" if d else "ascending") for key, d in zip(keys, desc)
+    ]
+
+    def _local(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)
+        return batch.take(idx).slice(0, k)
+
+    partials = ds.map_batches(_local, batch_format="pyarrow")
+    return partials.sort(keys, descending=desc).limit(k)
+
+
+def distinct(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """Distributed DISTINCT: local per-batch dedup (combiner) then
+    global groupby."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+    grouped = local.groupby(keys).count()
+    return grouped.drop_columns(["count()"])

@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_brute_force`` — the exactness baseline: one numpy matmul per
+  batch against a broadcast query matrix (``ray.put`` once, read in
+  every task), per-batch local top-k partials, tiny final reduce.
+  Never materializes the corpus; shuffle volume is
+  O(num_queries × k × num_blocks).
+* ``knn_ivf`` — the scale path: vectors partitioned into coarse cells
+  (deterministic centroids broadcast to every task), queries probe the
+  ``nprobe`` nearest cells only.  Same output contract.
+
+Output schema: (query_id, vec_id, score, rank) with rank 1-based per
+query, score = cosine similarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _topk_table(
+    qids: list, vids: np.ndarray, scores: np.ndarray, k: int
+) -> pa.Table:
+    """(queries × vectors) score matrix → long-form local top-k rows."""
+    q_out, v_out, s_out = [], [], []
+    kk = min(k, scores.shape[1])
+    if kk > 0:
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        for qi, qid in enumerate(qids):
+            for j in part[qi]:
+                q_out.append(qid)
+                v_out.append(int(vids[j]))
+                s_out.append(float(scores[qi, j]))
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(v_out, pa.int64()),
+            "score": pa.array(s_out, pa.float64()),
+        }
+    )
+
+
+def _final_topk(group: pa.Table, k: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+    )
+    top = group.take(order).slice(0, k)
+    return top.append_column("rank", pa.array(range(1, top.num_rows + 1), pa.int32()))
+
+
+class BruteForceScorer:
+    """Holds the broadcast (unit-normalized) query matrix; one matmul
+    per batch."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["query_id"]
+        self.qmat = _unit(np.asarray(q["matrix"], dtype=np.float32))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float32))
+        vids = np.asarray(batch[self.id_col].to_pylist())
+        scores = self.qmat @ vecs.T
+        return _topk_table(self.qids, vids, scores, self.k)
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    queries_ref = ray.put({"query_id": list(query_ids), "matrix": query_matrix})
+    partials = ds.map_batches(
+        BruteForceScorer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "k": k,
+        },
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk, batch_format="pyarrow", fn_kwargs={"k": k}
+    )
+
+
+def deterministic_centroids(
+    ds: ray.data.Dataset, n_cells: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """Deterministic coarse centroids: the vectors with the ``n_cells``
+    smallest ids (seed-free, stable across runs/cluster sizes; a k-means
+    refinement would broadcast the same way)."""
+    rows = (
+        ds.select_columns([id_col, vec_col])
+        .sort(id_col)
+        .limit(n_cells)
+        .take_all()
+    )
+    return _unit(np.asarray([r[vec_col] for r in rows], dtype=np.float32))
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    """IVF-style ANN: assign each vector to its nearest centroid cell,
+    score a query only against vectors in its ``nprobe`` closest cells.
+    Approximate by construction; recall grows with nprobe."""
+    cents = deterministic_centroids(ds, n_cells, vec_col, id_col)
+    cents_ref = ray.put(cents)
+    qmat = _unit(np.asarray(query_matrix, dtype=np.float32))
+    probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    # query sets per cell: cell → [query indices probing it]
+    cell_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe_cells):
+        for c in cells:
+            cell_queries.setdefault(int(c), []).append(qi)
+    plan_ref = ray.put({"cell_queries": cell_queries, "qids": list(query_ids), "qmat": qmat})
+
+    class IVFScorer:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            plan = ray.get(plan_ref)
+            self.cell_queries = plan["cell_queries"]
+            self.qids = plan["qids"]
+            self.qmat = plan["qmat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float32))
+            vids = np.asarray(batch[id_col].to_pylist())
+            assign = np.argmax(vecs @ self.cents.T, axis=1)
+            tables = []
+            for cell in np.unique(assign):
+                qidx = self.cell_queries.get(int(cell))
+                if not qidx:
+                    continue
+                mask = assign == cell
+                sub_v = vecs[mask]
+                sub_ids = vids[mask]
+                scores = self.qmat[qidx] @ sub_v.T
+                tables.append(
+                    _topk_table([self.qids[q] for q in qidx], sub_ids, scores, k)
+                )
+            if not tables:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.concat_tables(tables)
+
+    partials = ds.map_batches(IVFScorer, batch_format="pyarrow", concurrency=concurrency)
+    return partials.groupby("query_id").map_groups(
+        _final_topk, batch_format="pyarrow", fn_kwargs={"k": k}
+    )
