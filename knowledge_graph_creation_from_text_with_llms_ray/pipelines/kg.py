@@ -53,7 +53,8 @@ class KGConfig:
     extract_concurrency: int | tuple = (1, 4)
     extract_batch_size: int = 256
     link_concurrency: int | tuple = (1, 4)
-    link_batch_size: int = 4096
+    link_batch_size: int | None = None
+    edge_partitions: int | None = 32  # hash-shuffle aggregators for edge dedup
     extra: dict = field(default_factory=dict)
 
 
@@ -93,9 +94,10 @@ def run_streaming(
     docs: ray.data.Dataset, cfg: KGConfig | None = None, dict_table: pa.Table | None = None
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """documents → (edges, nodes) datasets, fully streaming."""
+    cfg = cfg or KGConfig()
     dict_ref = ray.put(dict_table if dict_table is not None else build_fixture_dict())
     linked = build_linked(stamp_sha256(docs), dict_ref, cfg)
-    edges = materialize_edges(linked)
+    edges = materialize_edges(linked, num_partitions=cfg.edge_partitions)
     nodes = materialize_nodes(edges)
     return edges, nodes
 

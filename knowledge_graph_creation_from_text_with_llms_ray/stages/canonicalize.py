@@ -26,7 +26,7 @@ import re
 import pyarrow as pa
 import ray.data
 
-from ..functions.minting import WD, WDT, mint_edge
+from ..functions.minting import WD, WDT, mint_entity_uri, mint_property_uri
 
 EDGE_KEY = ["subject_id", "predicate_id", "object_id", "is_literal"]
 
@@ -41,7 +41,17 @@ def extract_id(uri: str) -> str:
     return uri.split("/")[-1].replace("_", " ")
 
 
-def _mint_batch(batch: pa.Table) -> pa.Table:
+def _compact_key_batch(batch: pa.Table) -> pa.Table:
+    """Local combine on the COMPACT pre-mint key.
+
+    The dedup key is ``(subject_id or subject, canonical predicate
+    text/id, object_id or object, is_literal)`` — the exact value the
+    minting rules are an injective function of (percent-quoting and the
+    fixed URI prefixes add no information), so grouping on it is
+    equivalent to grouping on minted URIs while shuffling ~40 fewer
+    bytes per field.  One row per distinct edge per block with a partial
+    count — hot edges collapse before the shuffle, and the global sum of
+    partials is the true occurrence count (two-phase aggregation)."""
     subs = batch["subject"].to_pylist()
     preds = batch["predicate"].to_pylist()
     objs = batch["object"].to_pylist()
@@ -49,23 +59,51 @@ def _mint_batch(batch: pa.Table) -> pa.Table:
     pids = batch["predicate_id"].to_pylist()
     oids = batch["object_id"].to_pylist()
 
-    # Local combine inside the batch: one row per distinct edge with a
-    # partial count — hot edges collapse before they ever hit the
-    # shuffle, and the global sum of partials equals the true
-    # occurrence count (associative two-phase aggregation).
     counts: dict[tuple, int] = {}
     for s, p, o, sid, pid, oid in zip(subs, preds, objs, sids, pids, oids):
-        key = mint_edge(s, p, o, sid, pid, oid)
+        if pid is not None:
+            pkey = pid
+        elif p.startswith("P"):
+            # the raw-surface P-prefix check happens BEFORE lowercasing
+            # in the reference (GraphManager.py:49) — preserve it
+            pkey = p
+        else:
+            pkey = p.lower().replace(" ", "_")
+        key = (sid or s, pkey, o if oid is None else oid, oid is None)
         counts[key] = counts.get(key, 0) + 1
     rows = list(counts.items())
     su, pu, ou, lit = ([r[0][i] for r in rows] for i in range(4))
     return pa.table(
         {
+            "subject_key": pa.array(su, pa.string()),
+            "predicate_key": pa.array(pu, pa.string()),
+            "object_key": pa.array(ou, pa.string()),
+            "is_literal": pa.array(lit, pa.bool_()),
+            "partial_count": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _mint_deduped_batch(batch: pa.Table) -> pa.Table:
+    """Mint final URIs on the (already deduplicated) compact keys.
+    Predicate keys arriving here are pre-lowercased, which minting is
+    idempotent over."""
+    subs = batch["subject_key"].to_pylist()
+    preds = batch["predicate_key"].to_pylist()
+    objs = batch["object_key"].to_pylist()
+    lits = batch["is_literal"].to_pylist()
+    su, pu, ou = [], [], []
+    for s, p, o, lit in zip(subs, preds, objs, lits):
+        su.append(mint_entity_uri(s))
+        pu.append(mint_property_uri(p))
+        ou.append(o if lit else mint_entity_uri(o))
+    return pa.table(
+        {
             "subject_id": pa.array(su, pa.string()),
             "predicate_id": pa.array(pu, pa.string()),
             "object_id": pa.array(ou, pa.string()),
-            "is_literal": pa.array(lit, pa.bool_()),
-            "partial_count": pa.array([r[1] for r in rows], pa.int64()),
+            "is_literal": pa.array(lits, pa.bool_()),
+            "provenance_count": batch["provenance_count"],
         }
     )
 
@@ -76,16 +114,33 @@ def _rename_col(batch: pa.Table, old: str, new: str) -> pa.Table:
     )
 
 
-def materialize_edges(linked: ray.data.Dataset) -> ray.data.Dataset:
-    """linked triples → deduplicated, deterministically sorted edges."""
-    minted = linked.map_batches(_mint_batch, batch_format="pyarrow")
-    deduped = minted.groupby(EDGE_KEY).sum("partial_count")
-    deduped = deduped.map_batches(
-        _rename_col,
-        batch_format="pyarrow",
-        fn_kwargs={"old": "sum(partial_count)", "new": "provenance_count"},
+def materialize_edges(
+    linked: ray.data.Dataset, num_partitions: int | None = 32
+) -> ray.data.Dataset:
+    """linked triples → deduplicated, deterministically sorted edges.
+
+    ``batch_size=None`` gives the combiner whole blocks (bigger local
+    dedup windows → fewer shuffled rows); ``num_partitions`` sizes the
+    hash-shuffle aggregator pool (≈ CPU count; the default one-per-block
+    spawns far more aggregator actors than the post-combine volume
+    justifies).  Dedup groups on the compact pre-mint key and mints URIs
+    only on survivors — the shuffle never carries URI prefixes."""
+    from .relational import bucketed_group_aggregate
+
+    keyed = linked.map_batches(
+        _compact_key_batch, batch_format="pyarrow", batch_size=None
     )
-    return deduped.sort(EDGE_KEY)
+    deduped = bucketed_group_aggregate(
+        keyed,
+        keys=["subject_key", "predicate_key", "object_key", "is_literal"],
+        agg_specs=[("partial_count", "sum")],
+        rename={"partial_count_sum": "provenance_count"},
+        num_buckets=num_partitions or 32,
+    )
+    minted = deduped.map_batches(
+        _mint_deduped_batch, batch_format="pyarrow", batch_size=None
+    )
+    return minted.sort(EDGE_KEY)
 
 
 def _node_batch(batch: pa.Table) -> pa.Table:
@@ -115,7 +170,10 @@ def _node_batch(batch: pa.Table) -> pa.Table:
 def materialize_nodes(edges: ray.data.Dataset) -> ray.data.Dataset:
     """edges → distinct sorted node table (kind/label are pure functions
     of node_id, so distinct-on-node_id is the whole shuffle)."""
-    local = edges.map_batches(_node_batch, batch_format="pyarrow")
-    distinct = local.groupby(["node_id", "kind", "label"]).count()
-    distinct = distinct.drop_columns(["count()"])
+    from .relational import bucketed_group_aggregate
+
+    local = edges.map_batches(_node_batch, batch_format="pyarrow", batch_size=None)
+    distinct = bucketed_group_aggregate(
+        local, keys=["node_id", "kind", "label"], agg_specs=[], num_buckets=8
+    )
     return distinct.sort("node_id")

@@ -34,27 +34,32 @@ def generate_prompt(system_message: str, prompt_template: str, text: str) -> str
     return f"{system_message}\n{prompt_template.format(text=text)}"
 
 
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["chunk_text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    responses = [
+        render_response(extract_triples(t or "", lang)) for t, lang in zip(texts, langs)
+    ]
+    return batch.append_column("response", pa.array(responses, pa.string()))
+
+
 class DeterministicTripleExtractor:
     """Rule-based 'model': emits numbered ``i. (s, p, o)`` lines like an
-    instruction-following LLM answering the reference prompt."""
+    instruction-following LLM answering the reference prompt.  The rules
+    are module-level compiled regexes — no per-actor state — so the
+    stage normally runs as a task pool (elastic, no pool spin-up);
+    this class exists for contract parity with ``HFTripleExtractor``."""
 
     def __init__(
         self,
         system_message: str = DEFAULT_SYSTEM_MESSAGE,
         prompt_template: str = DEFAULT_PROMPT_TEMPLATE,
     ):
-        # Stateful setup happens once per actor; rules are compiled at
-        # module import (also once per worker process).
         self.system_message = system_message
         self.prompt_template = prompt_template
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["chunk_text"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        responses = [
-            render_response(extract_triples(t or "", lang)) for t, lang in zip(texts, langs)
-        ]
-        return batch.append_column("response", pa.array(responses, pa.string()))
+        return _extract_batch(batch)
 
 
 class HFTripleExtractor:
@@ -104,22 +109,25 @@ def generate_responses(
     num_gpus: float | None = None,
     **extractor_kwargs,
 ) -> ray.data.Dataset:
-    """chunks → chunks+response via an autoscaling actor pool."""
+    """chunks → chunks+response.
+
+    The deterministic extractor is stateless → task-pool map_batches
+    (elastic scheduling, no actor startup).  The HF model extractor is
+    heavy warm state → autoscaling actor pool with per-actor model load
+    in ``__init__`` (ST1 re-expressed)."""
     if extractor == "deterministic":
-        cls = DeterministicTripleExtractor
-    elif extractor == "hf":
-        cls = HFTripleExtractor
+        return ds.map_batches(_extract_batch, batch_format="pyarrow", batch_size=None)
+    if extractor == "hf":
         extractor_kwargs["model_name"] = model_name
-    else:
-        raise ValueError(f"unknown extractor: {extractor}")
-    ray_remote_args = {}
-    if num_gpus:
-        ray_remote_args["num_gpus"] = num_gpus
-    return ds.map_batches(
-        cls,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=extractor_kwargs,
-        **ray_remote_args,
-    )
+        ray_remote_args = {}
+        if num_gpus:
+            ray_remote_args["num_gpus"] = num_gpus
+        return ds.map_batches(
+            HFTripleExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=extractor_kwargs,
+            **ray_remote_args,
+        )
+    raise ValueError(f"unknown extractor: {extractor}")

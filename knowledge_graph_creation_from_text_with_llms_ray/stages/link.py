@@ -44,6 +44,75 @@ def _materialize_dict(dict_ref) -> pa.Table:
     return dict_ref
 
 
+# Per-worker-process cache of built lookup structures, keyed by the
+# broadcast object id.  Worker processes persist across map tasks, so a
+# task-pool linker pays the (already tiny) build cost once per worker —
+# actor-pool semantics without actor-pool startup latency.
+_RESOLVED_CACHE: dict[tuple, "ResolvedDict"] = {}
+
+
+def get_resolved(dict_ref, use_aliases: bool = True) -> ResolvedDict:
+    key = (
+        dict_ref.hex() if isinstance(dict_ref, ray.ObjectRef) else id(dict_ref),
+        use_aliases,
+    )
+    rd = _RESOLVED_CACHE.get(key)
+    if rd is None:
+        rd = ResolvedDict(_materialize_dict(dict_ref), use_aliases)
+        rd._prop_memo = {}
+        _RESOLVED_CACHE[key] = rd
+    return rd
+
+
+def resolve_properties(
+    rd: ResolvedDict, predicates: list[str], method: str
+) -> list[str | None]:
+    """Property resolution with the reference's method dispatch
+    (``Matcher.py:113-172``), memoized per distinct surface on ``rd``."""
+    memo = rd._prop_memo
+    out: list[str | None] = [None] * len(predicates)
+    need_cos: dict[str, list[int]] = {}
+    for i, pred in enumerate(predicates):
+        if pred in memo:
+            out[i] = memo[pred]
+            continue
+        exact = rd.resolve("property", pred) if method in ("api", "mixed") else None
+        if exact is not None or method == "api":
+            memo[pred] = exact
+            out[i] = exact
+        else:  # cos_similarity always scores; mixed falls through on miss
+            need_cos.setdefault(pred, []).append(i)
+    if need_cos:
+        distinct = list(need_cos.keys())
+        vecs = encode_batch(distinct)
+        topk = rd.top_k_properties(vecs, k=10)
+        for pred, matches in zip(distinct, topk):
+            best = matches[0][0] if matches else None
+            memo[pred] = best
+            for i in need_cos[pred]:
+                out[i] = best
+    return out
+
+
+def _link_batch(
+    batch: pa.Table, dict_ref, method: str, use_aliases: bool
+) -> pa.Table:
+    rd = get_resolved(dict_ref, use_aliases)
+    subjects = batch["subject"].to_pylist()
+    predicates = batch["predicate"].to_pylist()
+    objects = batch["object"].to_pylist()
+    subject_ids = [rd.resolve("entity", s) for s in subjects]
+    object_ids = [rd.resolve("entity", o) for o in objects]
+    predicate_ids = resolve_properties(rd, predicates, method)
+    is_literal = [oid is None for oid in object_ids]
+    return (
+        batch.append_column("subject_id", pa.array(subject_ids, pa.string()))
+        .append_column("predicate_id", pa.array(predicate_ids, pa.string()))
+        .append_column("object_id", pa.array(object_ids, pa.string()))
+        .append_column("is_literal", pa.array(is_literal, pa.bool_()))
+    )
+
+
 class LinkerActor:
     """Per-batch linker: subject/object entity resolution + predicate
     property resolution.  Dictionary read from the object store once per
@@ -59,30 +128,8 @@ class LinkerActor:
         self._prop_memo: dict[str, str | None] = {}
 
     def _resolve_properties(self, predicates: list[str]) -> list[str | None]:
-        out: list[str | None] = [None] * len(predicates)
-        need_cos: dict[str, list[int]] = {}
-        for i, pred in enumerate(predicates):
-            if pred in self._prop_memo:
-                out[i] = self._prop_memo[pred]
-                continue
-            exact = (
-                self.rd.resolve("property", pred) if self.method in ("api", "mixed") else None
-            )
-            if exact is not None or self.method == "api":
-                self._prop_memo[pred] = exact
-                out[i] = exact
-            else:  # cos_similarity always scores; mixed falls through on miss
-                need_cos.setdefault(pred, []).append(i)
-        if need_cos:
-            distinct = list(need_cos.keys())
-            vecs = encode_batch(distinct)
-            topk = self.rd.top_k_properties(vecs, k=10)
-            for pred, matches in zip(distinct, topk):
-                best = matches[0][0] if matches else None
-                self._prop_memo[pred] = best
-                for i in need_cos[pred]:
-                    out[i] = best
-        return out
+        self.rd._prop_memo = self._prop_memo
+        return resolve_properties(self.rd, predicates, self.method)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subjects = batch["subject"].to_pylist()
@@ -106,15 +153,21 @@ def link_triples(
     method: str = "api",
     use_aliases: bool = True,
     concurrency: int | tuple[int, int] = (1, 4),
-    batch_size: int = 4096,
+    batch_size: int | None = None,
 ) -> ray.data.Dataset:
-    """triples → linked triples (broadcast strategy, shuffle-free)."""
+    """triples → linked triples (broadcast strategy, shuffle-free).
+
+    Task-pool: the broadcast dictionary is fetched zero-copy from the
+    object store and its lookup structures cached per worker process
+    (``get_resolved``), so tasks schedule elastically with warm-state
+    economics.  ``concurrency`` is accepted for API compatibility with
+    the actor-pool variant (used when a real encoder model makes the
+    per-worker state genuinely heavy)."""
     return ds.map_batches(
-        LinkerActor,
+        _link_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "dict_ref": dict_ref,
             "method": method,
             "use_aliases": use_aliases,
