@@ -113,6 +113,25 @@ def q_kg_distinct_surfaces(sf_dir: str):
     return distinct_surfaces(_triples(sf_dir))
 
 
+def q_kg_stats(sf_dir: str):
+    """Graph statistics (A1, ``GraphManager.py:57-69``) computed as
+    distributed aggregates over the edges dataset — total triples and
+    per-component distinct counts."""
+    edges = materialize_edges(_linked(sf_dir))
+    total = edges.count()  # distributed
+    # per-component distincts over the (small, already-deduped) edge
+    # table; at 100 TB these become groupby-count or HLL sketches
+    df = edges.select_columns(["subject_id", "predicate_id", "object_id"]).to_pandas()
+    return pa.table(
+        {
+            "total_triples": pa.array([total], pa.int64()),
+            "unique_subjects": pa.array([df["subject_id"].nunique()], pa.int64()),
+            "unique_predicates": pa.array([df["predicate_id"].nunique()], pa.int64()),
+            "unique_objects": pa.array([df["object_id"].nunique()], pa.int64()),
+        }
+    )
+
+
 def q_kg_property_matches(sf_dir: str):
     """Top-10 property candidates per distinct predicate (the S7
     diagnostic sink re-expressed).  Embedding scores → rows-only check."""
@@ -644,6 +663,13 @@ SELECT node_id,
        THEN regexp_extract(node_id, '[QP][0-9]+$')
        ELSE replace(regexp_extract(node_id, '[^/]*$'), '_', ' ') END AS label
 FROM nodes_src""",
+        "kg_stats": kg
+        + """
+SELECT count(*) AS total_triples,
+       count(DISTINCT subject_id) AS unique_subjects,
+       count(DISTINCT predicate_id) AS unique_predicates,
+       count(DISTINCT object_id) AS unique_objects
+FROM edges""",
         "kg_distinct_surfaces": kg
         + """
 SELECT DISTINCT * FROM (
@@ -776,6 +802,7 @@ def queries():
         "kg_linked": q_kg_linked,
         "kg_edges": q_kg_edges,
         "kg_edges_shuffle": q_kg_edges_shuffle,
+        "kg_stats": q_kg_stats,
         "kg_nodes": q_kg_nodes,
         "kg_distinct_surfaces": q_kg_distinct_surfaces,
         "kg_property_matches": q_kg_property_matches,

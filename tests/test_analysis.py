@@ -1,0 +1,54 @@
+import pyarrow as pa
+import ray.data
+
+from knowledge_graph_creation_from_text_with_llms_ray.functions.textstats import (
+    bpe_ish_token_count,
+    detect_language,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.stages import analysis
+
+
+def _docs(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_text_stats_counts():
+    rows = analysis.text_stats(_docs(["hello world", "", "  a  b ", "x!"])).take_all()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["n_tokens"] == 2
+    assert by_id[1]["n_tokens"] == 0
+    assert by_id[2]["n_tokens"] == 2
+    assert by_id[0]["n_chars_computed"] == 11
+    assert by_id[3]["punct_ratio"] == 0.5
+    assert 0.0 <= by_id[0]["quality"] <= 1.0
+
+
+def test_bpe_ish_token_count():
+    assert bpe_ish_token_count("don't stop, now!") == 7  # don ' t stop , now !
+    assert bpe_ish_token_count("") == 0
+
+
+def test_language_id_heuristic():
+    assert detect_language("the cat is on the mat and it is happy")[0] == "en"
+    assert detect_language("der hund ist mit der katze und das ist gut")[0] == "de"
+    assert detect_language("le chat est dans la maison et il est content")[0] == "fr"
+    assert detect_language("中文文本测试中文文本测试")[0] == "zh"
+    assert detect_language("")[0] == "unknown"
+
+
+def test_fingerprints_are_deterministic_and_distinct():
+    rows1 = analysis.fingerprints(_docs(["abc def", "abc def", "ghi"])).take_all()
+    rows2 = analysis.fingerprints(_docs(["abc def", "abc def", "ghi"])).take_all()
+    f1 = {(r["doc_id"], r["sha256"], r["simhash"], r["rolling_fp"]) for r in rows1}
+    f2 = {(r["doc_id"], r["sha256"], r["simhash"], r["rolling_fp"]) for r in rows2}
+    assert f1 == f2
+    by_id = {r["doc_id"]: r for r in rows1}
+    assert by_id[0]["sha256"] == by_id[1]["sha256"] != by_id[2]["sha256"]
+    assert by_id[0]["rolling_fp"] == by_id[1]["rolling_fp"]

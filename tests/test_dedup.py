@@ -1,0 +1,82 @@
+import pyarrow as pa
+import ray.data
+
+from knowledge_graph_creation_from_text_with_llms_ray.stages import dedup
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs([(3, "aaa"), (1, "aaa"), (2, "bbb"), (5, "aaa"), (4, "bbb")])
+    out = sorted((r["doc_id"], r["text"]) for r in dedup.exact_dedup(ds).take_all())
+    assert out == [(1, "aaa"), (2, "bbb")]
+
+
+def test_fingerprint_dedup_matches_exact():
+    rows = [(i, f"text number {i % 4}") for i in range(12)]
+    ds = _docs(rows)
+    out = sorted(r["doc_id"] for r in dedup.fingerprint_dedup(ds).take_all())
+    assert out == [0, 1, 2, 3]
+
+
+def test_minhash_finds_near_duplicates():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spacecraft telemetry " * 10
+    ds = _docs([(1, base), (2, near), (3, other), (4, base)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(ds, threshold=0.5, concurrency=1).take_all()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near-dup
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_simhash_identical_distance_zero():
+    base = "alpha beta gamma delta " * 20
+    ds = _docs([(1, base), (2, base), (3, "unrelated words entirely different " * 20)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(ds, max_hamming=3).take_all()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_verification():
+    a = "one two three four five six seven eight nine ten"
+    ds = _docs([(1, a), (2, a), (3, "x y z w v u t s r q")])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(ds, threshold=0.9, lsh_threshold=0.5, concurrency=1).take_all()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_embedding_near_dup_finds_planted_pair():
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # planted dup
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        )
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(ds, threshold=0.99, planes=4).take_all()
+    }
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.99

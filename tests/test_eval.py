@@ -1,0 +1,42 @@
+from knowledge_graph_creation_from_text_with_llms_ray.eval import (
+    evaluate_ids,
+    relaxed_match,
+    strict_match,
+)
+
+
+def test_strict_match_set_semantics():
+    gen = [("a", "b", "c"), ("a", "b", "c"), ("x", "y", "z")]
+    gt = [("a", "b", "c"), ("p", "q", "r")]
+    m = strict_match(gen, gt)
+    # duplicates collapse (set semantics, metrics_generator.py:107-108)
+    assert m["True Positives"] == 1
+    assert m["False Positives"] == 1
+    assert m["False Negatives"] == 1
+    assert m["Precision"] == 0.5 and m["Recall"] == 0.5
+
+
+def test_strict_match_empty():
+    m = strict_match([], [])
+    assert m["Precision"] == 0 and m["Recall"] == 0 and m["F1"] == 0
+
+
+def test_relaxed_match_component_membership():
+    # normalized component must appear AS A COMPONENT of some generated
+    # triple (tuple membership, metrics_generator.py:141), not substring
+    gen = [("the cat", "sat on", "the mat")]
+    gt = [("The Cat!", "sat on", "the mat"), ("cat", "sat", "mat")]
+    m = relaxed_match(gen, gt)
+    assert m["True Positives"] == 1  # first gt matches; second does not
+    assert m["False Negatives"] == 1
+
+
+def test_evaluate_ids_occurrence_counting():
+    gen = [("Q1", "P1", "Q2"), ("Q1", "P2", "Q3")]
+    gt = [("Q1", "P1", "Q2"), ("Q1", "P1", "Q9")]
+    m = evaluate_ids(gen, gt)
+    # subjects: gen [Q1,Q1] vs gt [Q1,Q1] → 2 TP (per occurrence)
+    assert m["subjects"]["True Positives"] == 2
+    assert m["predicates"]["True Positives"] == 1
+    assert m["objects"]["True Positives"] == 1
+    assert m["objects"]["False Positives"] == 1

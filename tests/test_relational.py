@@ -1,0 +1,75 @@
+import pyarrow as pa
+import ray.data
+
+from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+
+def test_broadcast_join_inner():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()), "v": pa.array([10, 20, 30, 21])})
+    )
+    right = pa.table({"rk": pa.array([1, 2], pa.int64()), "name": ["a", "b"]})
+    out = relational.broadcast_join(
+        left, right, keys=["k"], right_keys=["rk"], concurrency=1
+    ).take_all()
+    got = sorted((r["k"], r["v"], r["name"]) for r in out)
+    assert got == [(1, 10, "a"), (2, 20, "b"), (2, 21, "b")]
+
+
+def test_pre_aggregated_matches_pandas():
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"g": ["x", "y", "x", "y", "x"], "v": [1, 2, 3, 4, 5], "w": [2, 2, 2, 2, 2]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = relational.pre_aggregated(
+        ds, keys=["g"], aggs={"v_sum": "v:sum", "n": "v:count", "v_max": "v:max"}
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert out["v_sum"].tolist() == [9, 6]
+    assert out["n"].tolist() == [3, 2]
+    assert out["v_max"].tolist() == [5, 4]
+
+
+def test_topk_with_tiebreak():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "score": pa.array([5.0, 5.0, 9.0, 1.0, 9.0]),
+            }
+        )
+    )
+    out = relational.topk(ds, ["score", "id"], k=3, descending=[True, False]).take_all()
+    assert [(r["score"], r["id"]) for r in out] == [(9.0, 3), (9.0, 5), (5.0, 1)]
+
+
+def test_distinct():
+    ds = ray.data.from_arrow(
+        pa.table({"a": ["x", "x", "y"], "b": [1, 1, 2]})
+    )
+    out = sorted((r["a"], r["b"]) for r in relational.distinct(ds, ["a", "b"]).take_all())
+    assert out == [("x", 1), ("y", 2)]
+
+
+def test_bucketed_group_aggregate_equals_native():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k1": pa.array([f"key{int(i)}" for i in rng.randint(0, 50, n)]),
+            "k2": pa.array([bool(i) for i in rng.randint(0, 2, n)]),
+            "v": pa.array(rng.randint(0, 100, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    fast = relational.bucketed_group_aggregate(
+        ds, keys=["k1", "k2"], agg_specs=[("v", "sum")], rename={"v_sum": "total"},
+        num_buckets=7,
+    ).to_pandas()
+    expected = tbl.to_pandas().groupby(["k1", "k2"], as_index=False)["v"].sum()
+    merged = fast.merge(expected, on=["k1", "k2"])
+    assert len(merged) == len(expected) == len(fast)
+    assert (merged["total"] == merged["v"]).all()
