@@ -50,6 +50,42 @@ def relaxed_match(generated: list[Triple], ground_truth: list[Triple]) -> dict:
     return _prf(tp, fp, fn)
 
 
+def rouge_match(generated: list[Triple], ground_truth: list[Triple]) -> dict:
+    """E5 (``metrics_generator.py:159-183``): best-pair ROUGE-1/2/L per
+    generated triple.  Import-gated — ``rouge_score`` is not in this
+    environment; raises ImportError with the reference semantics
+    documented."""
+    from rouge_score import rouge_scorer  # noqa: F401  (import-gated)
+
+    scorer = rouge_scorer.RougeScorer(["rouge1", "rouge2", "rougeL"], use_stemmer=True)
+    totals = {"rouge1": 0.0, "rouge2": 0.0, "rougeL": 0.0}
+    for gen in generated:
+        best = {k: 0.0 for k in totals}
+        for gt in ground_truth:
+            scores = scorer.score(" ".join(gen), " ".join(gt))
+            for k in totals:
+                best[k] = max(best[k], scores[k].fmeasure)
+        for k in totals:
+            totals[k] += best[k]
+    n = len(generated) or 1
+    return {f"Average ROUGE-{k[5:].upper()}": v / n for k, v in totals.items()}
+
+
+def bert_score_match(generated: list[Triple], ground_truth: list[Triple]) -> dict:
+    """E5 (``metrics_generator.py:185-200``): corpus BERTScore.
+    Import-gated — ``bert_score`` is not in this environment."""
+    from bert_score import score as bert_score  # noqa: F401  (import-gated)
+
+    gen_texts = [" ".join(t) for t in generated]
+    gt_texts = [" ".join(t) for t in ground_truth]
+    precision, recall, f1 = bert_score(gen_texts, gt_texts, lang="en", verbose=False)
+    return {
+        "Average BERTScore Precision": precision.mean().item(),
+        "Average BERTScore Recall": recall.mean().item(),
+        "Average BERTScore F1": f1.mean().item(),
+    }
+
+
 def evaluate_ids(
     generated_ids: list[Triple], ground_truth_ids: list[Triple]
 ) -> dict[str, dict]:

@@ -164,7 +164,22 @@ def run_checkpointed(
         )
         ran.append(i)
 
-    # Final global materialization over all shard checkpoints.
+    # Final global materialization over all shard checkpoints; skipped
+    # on a pure-resume rerun where nothing upstream changed.
+    man = lineage.load_manifest(workdir, "final", 0)
+    if (
+        not ran
+        and man is not None
+        and os.path.isdir(man["edges_dir"])
+        and os.path.isdir(man["nodes_dir"])
+    ):
+        return {
+            "shards_ran": ran,
+            "shards_skipped": skipped,
+            "edges_dir": man["edges_dir"],
+            "nodes_dir": man["nodes_dir"],
+            "final_skipped": True,
+        }
     t0 = time.time()
     shard_files = []
     for i in range(len(files)):

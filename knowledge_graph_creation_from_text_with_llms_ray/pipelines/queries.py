@@ -504,6 +504,29 @@ def q_text_sha256(sf_dir: str):
     return analysis.fingerprints(ds).select_columns(["doc_id", "sha256"])
 
 
+def q_text_embed(sf_dir: str):
+    """ST2 encoder stage over the documents table (deterministic
+    trigram encoder; rows-only check — embeddings are not SQL)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analysis.embed_text(ds, concurrency=(1, 2))
+
+    def project(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vecs = np.asarray([list(v) for v in b["embedding"].to_pylist()], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "dim": pa.array([vecs.shape[1]] * b.num_rows, pa.int32()),
+                "norm_ok": pa.array(
+                    np.abs(np.linalg.norm(vecs, axis=1) - 1.0) < 1e-4
+                ),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_text_fingerprints(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = analysis.fingerprints(ds)
@@ -825,6 +848,7 @@ def queries():
         "text_langid": q_text_langid,
         "text_sha256": q_text_sha256,
         "text_fingerprints": q_text_fingerprints,
+        "text_embed": q_text_embed,
         "sim_topk_brute": q_sim_topk_brute,
         "sim_topk_ivf": q_sim_topk_ivf,
         "mm_features": q_mm_features,

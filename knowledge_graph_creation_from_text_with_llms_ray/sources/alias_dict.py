@@ -125,6 +125,60 @@ def load_dict(path: str, use_aliases: bool = True) -> pa.Table:
     return t
 
 
+def build_dict_from_rows(rows: "ray.data.Dataset") -> pa.Table:
+    """Build the dictionary artifact from a Dataset of raw
+    ``(id, kind, label, alias)`` rows — the reference's SPARQL-result
+    grouping re-expressed as a Ray groupby
+    (``WikidataEmbeddingGenerator.py:115-131``: group rows by property
+    id, aggregating the alias set).
+
+    Rank assignment replicates the reference's ordering: the label row
+    gets rank 0, aliases 1..n in first-seen order.  Embeddings are
+    computed per alias with the deterministic encoder.
+    """
+    import ray.data  # noqa: F401  (typing only)
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        # shuffle order is arbitrary — restore source order via the
+        # optional ``ord`` column, else sort aliases for determinism
+        if "ord" in group.column_names:
+            group = group.take(pa.compute.sort_indices(group["ord"]))
+        else:
+            group = group.take(pa.compute.sort_indices(group["alias"]))
+        id_ = group["id"][0].as_py()
+        kind = group["kind"][0].as_py()
+        label = group["label"][0].as_py()
+        seen, ordered = set(), [label]
+        seen.add(label)
+        for a in group["alias"].to_pylist():
+            if a not in seen:
+                seen.add(a)
+                ordered.append(a)
+        emb = encode_batch(ordered)
+        return pa.table(
+            {
+                "id": pa.array([id_] * len(ordered), pa.string()),
+                "kind": pa.array([kind] * len(ordered), pa.string()),
+                "label": pa.array([label] * len(ordered), pa.string()),
+                "alias": pa.array(ordered, pa.string()),
+                "rank": pa.array(range(len(ordered)), pa.int32()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1), pa.float32()), DIM
+                ),
+            }
+        )
+
+    parts = rows.groupby("id").map_groups(_assemble, batch_format="pyarrow")
+    table = pa.Table.from_pandas(parts.to_pandas(), schema=None)
+    # cast list<float> back to fixed_size_list after the pandas hop
+    emb = np.asarray(
+        [list(v) for v in table["embedding"].to_pylist()], dtype=np.float32
+    )
+    fixed = pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), DIM)
+    table = table.drop_columns(["embedding"]).append_column("embedding", fixed)
+    return table.sort_by([("id", "ascending"), ("rank", "ascending")])
+
+
 def sql_values_cte(table: pa.Table | None = None) -> str:
     """Render the dictionary as a SQL VALUES list — the oracle side of
     the correctness gate embeds the SAME rows the pipeline broadcasts,

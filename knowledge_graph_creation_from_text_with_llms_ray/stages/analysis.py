@@ -82,3 +82,48 @@ def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
     return ds.map_batches(
         _fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     )
+
+
+class SentenceEncoderActor:
+    """ST2 re-expressed (reference ``Integrator.py:62``): the sentence
+    encoder as an actor-pool stage — model loads once per actor in
+    ``__init__``, each batch is encoded in one call.  ``model_name``
+    None selects the deterministic trigram encoder (sandbox default);
+    a sentence-transformers id is import-gated."""
+
+    def __init__(self, model_name: str | None = None, text_col: str = "text"):
+        self.text_col = text_col
+        if model_name is None:
+            from ..functions.embedding import encode_batch
+
+            self._encode = encode_batch
+        else:  # pragma: no cover - heavy model path
+            from sentence_transformers import SentenceTransformer
+
+            model = SentenceTransformer(model_name)
+            self._encode = lambda texts: model.encode(list(texts))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = self._encode([t or "" for t in batch[self.text_col].to_pylist()])
+        vecs = np.asarray(vecs, dtype=np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), vecs.shape[1]
+        )
+        return batch.append_column("embedding", arr)
+
+
+def embed_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    model_name: str | None = None,
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """Add an ``embedding: fixed_size_list<float32>`` column."""
+    return ds.map_batches(
+        SentenceEncoderActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"model_name": model_name, "text_col": text_col},
+    )

@@ -1,0 +1,73 @@
+import pyarrow as pa
+import pytest
+import ray.data
+
+from knowledge_graph_creation_from_text_with_llms_ray.sources.alias_dict import (
+    build_dict_from_rows,
+    build_fixture_dict,
+    load_dict,
+    write_dict,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.stages.analysis import embed_text
+
+
+def test_dict_artifact_roundtrip(tmp_path):
+    path = str(tmp_path / "dict.parquet")
+    write_dict(path)
+    full = load_dict(path, use_aliases=True)
+    simple = load_dict(path, use_aliases=False)
+    # S9 schema migration: simple shape = label rows only (rank 0)
+    assert full.num_rows == build_fixture_dict().num_rows
+    assert simple.num_rows == len(set(full["id"].to_pylist()))
+    assert set(simple["rank"].to_pylist()) == {0}
+
+
+def test_build_dict_from_rows_groupby_aggregation():
+    # the S8 SPARQL-result grouping re-expressed: rows (id, kind, label,
+    # alias, ord) → one rank-ordered alias set per id
+    rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": ["P9", "P9", "P9", "Q9"],
+                "kind": ["property", "property", "property", "entity"],
+                "label": ["links to", "links to", "links to", "Thing"],
+                "alias": ["points at", "references", "points at", "Thing"],
+                "ord": pa.array([0, 1, 2, 0], pa.int64()),
+            }
+        )
+    )
+    table = build_dict_from_rows(rows)
+    p9 = table.filter(pa.compute.equal(table["id"], "P9"))
+    assert p9["alias"].to_pylist() == ["links to", "points at", "references"]
+    assert p9["rank"].to_pylist() == [0, 1, 2]
+    assert p9["label"].to_pylist() == ["links to"] * 3
+    q9 = table.filter(pa.compute.equal(table["id"], "Q9"))
+    assert q9["alias"].to_pylist() == ["Thing"] and q9["rank"].to_pylist() == [0]
+    # embeddings are unit vectors of the right width
+    import numpy as np
+
+    v = np.asarray(table["embedding"].to_pylist(), dtype=np.float32)
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+
+
+def test_embed_text_stage():
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["hello", "hello"]})
+    )
+    rows = embed_text(ds, concurrency=1).take_all()
+    assert len(rows[0]["embedding"]) == 64
+    assert list(rows[0]["embedding"]) == list(rows[1]["embedding"])  # deterministic
+
+
+def test_e5_metrics_are_import_gated():
+    from knowledge_graph_creation_from_text_with_llms_ray.eval import (
+        bert_score_match,
+        rouge_match,
+    )
+
+    for fn in (rouge_match, bert_score_match):
+        try:
+            fn([("a", "b", "c")], [("a", "b", "c")])
+        except ImportError:
+            continue  # expected in this environment
+        # if the libs exist, results must be well-formed dicts
