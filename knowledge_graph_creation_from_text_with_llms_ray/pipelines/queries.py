@@ -31,7 +31,7 @@ import ray.data
 
 from ..sources.alias_dict import build_fixture_dict, sql_values_cte
 from ..sources.readers import documents_as_corpus
-from ..stages import analysis, dedup, multimodal, relational, similarity
+from ..stages import analysis, dedup, multimodal, relational, similarity, windows
 from ..stages.chunk import chunk_documents
 from ..stages.extract import generate_responses
 from ..stages.link import distinct_surfaces, link_triples, link_triples_shuffle
@@ -442,6 +442,91 @@ def q_rel_props_extract(sf_dir: str):
     return agg
 
 
+def q_rel_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) — keyed window op over the
+    events stream; (user_id, ts) is unique in the data so ordering is
+    deterministic."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = windows.sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800.0)
+    return out.select_columns(["event_id", "user_id", "session_id", "event_seq"])
+
+
+def q_rel_running_sum(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "value_c": _cents(b["value"]),
+            }
+        )
+
+    out = windows.running_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        ts_col="ts",
+        value_col="value_c",
+    )
+    return out.select_columns(["event_id", "user_id", "running_sum"])
+
+
+def q_rel_topk_per_group(sf_dir: str):
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    joined = relational.broadcast_join(orders, cust, keys=["o_custkey"], right_keys=["c_custkey"])
+    out = windows.topk_per_group(
+        joined,
+        key="c_mktsegment",
+        order_cols=["o_totalprice", "o_orderkey"],
+        k=3,
+        descending=[True, False],
+    )
+    return out.select_columns(["c_mktsegment", "o_orderkey", "o_totalprice", "rnk"])
+
+
+def q_rel_semijoin(sf_dir: str):
+    """Orders having at least one late-shipped lineitem (EXISTS),
+    counted per priority — the right side is a broadcast distinct key
+    set, not a shuffle join."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    late = li.filter(
+        pc.greater(li["l_shipdate"], pa.scalar(datetime.datetime(1999, 1, 1)))
+    ).select(["l_orderkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    kept = relational.broadcast_semi_join(
+        orders, late, keys=["o_orderkey"], right_key_cols=["l_orderkey"]
+    )
+    agg = relational.pre_aggregated(
+        kept, keys=["o_orderpriority"], aggs={"n_orders": "o_orderkey:count"}
+    )
+    return agg
+
+
+def q_rel_antijoin(sf_dir: str):
+    """Orders with NO late-shipped lineitem (NOT EXISTS), counted per
+    priority — the anti flag of the broadcast semi-join."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    late = li.filter(
+        pc.greater(li["l_shipdate"], pa.scalar(datetime.datetime(1999, 1, 1)))
+    ).select(["l_orderkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    kept = relational.broadcast_semi_join(
+        orders, late, keys=["o_orderkey"], right_key_cols=["l_orderkey"], anti=True
+    )
+    return relational.pre_aggregated(
+        kept, keys=["o_orderpriority"], aggs={"n_orders": "o_orderkey:count"}
+    )
+
+
 def q_rel_distinct_segments(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return relational.distinct(ds, ["c_mktsegment"])
@@ -758,6 +843,49 @@ SELECT event_type,
   count(*) AS n_events
 FROM events GROUP BY event_type""",
         "rel_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "rel_sessionize": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_id
+  FROM o
+)
+SELECT event_id, user_id, session_id,
+  row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts) AS event_seq
+FROM s""",
+        "rel_running_sum": """
+SELECT event_id, user_id,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS running_sum
+FROM events""",
+        "rel_topk_per_group": """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3""",
+        "rel_semijoin": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1999-01-01')
+GROUP BY o_orderpriority""",
+        "rel_antijoin": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '1999-01-01')
+GROUP BY o_orderpriority""",
         "dedup_exact": """
 SELECT doc_id, text FROM (
   SELECT doc_id, text,
@@ -838,6 +966,11 @@ def queries():
         "rel_window_events": q_rel_window_events,
         "rel_props_extract": q_rel_props_extract,
         "rel_distinct_segments": q_rel_distinct_segments,
+        "rel_sessionize": q_rel_sessionize,
+        "rel_running_sum": q_rel_running_sum,
+        "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_semijoin": q_rel_semijoin,
+        "rel_antijoin": q_rel_antijoin,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,

@@ -138,6 +138,32 @@ def topk(
     return partials.sort(keys, descending=desc).limit(k)
 
 
+def broadcast_semi_join(
+    ds: ray.data.Dataset,
+    right_keys: pa.Table,
+    keys: list[str],
+    right_key_cols: list[str] | None = None,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi-join (``EXISTS``) / anti-join (``NOT EXISTS``) against a
+    broadcast key set: keep left rows whose key combination does (not)
+    appear in the right table.  The right side ships as a ``ray.put``
+    key-set once — never per batch."""
+    right_key_cols = right_key_cols or keys
+    key_set = set(
+        zip(*(right_keys[c].to_pylist() for c in right_key_cols))
+    )
+    keys_ref = ray.put(key_set)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        kset = ray.get(keys_ref)
+        cols = [batch[k].to_pylist() for k in keys]
+        mask = [(tuple(row) in kset) != anti for row in zip(*cols)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+
+
 def bucketed_group_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],

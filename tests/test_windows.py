@@ -1,0 +1,77 @@
+import datetime
+
+import pyarrow as pa
+import ray.data
+
+from knowledge_graph_creation_from_text_with_llms_ray.stages import relational, windows
+
+
+def _events():
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 2h between event 3 and 4)
+        (1, 1, base),
+        (2, 1, base + datetime.timedelta(minutes=10)),
+        (3, 1, base + datetime.timedelta(minutes=20)),
+        (4, 1, base + datetime.timedelta(hours=2, minutes=20)),
+        # user 2: single session
+        (5, 2, base),
+        (6, 2, base + datetime.timedelta(minutes=29)),
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+
+
+def test_sessionize_gap_semantics():
+    out = {r["event_id"]: r for r in windows.sessionize(_events(), gap_seconds=1800).take_all()}
+    assert [out[i]["session_id"] for i in (1, 2, 3, 4)] == [1, 1, 1, 2]
+    assert [out[i]["event_seq"] for i in (1, 2, 3, 4)] == [1, 2, 3, 1]
+    assert [out[i]["session_id"] for i in (5, 6)] == [1, 1]
+    assert out[6]["event_seq"] == 2
+
+
+def test_running_aggregate():
+    ds = _events().map_batches(
+        lambda b: b.append_column("v", pa.array([10] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = {r["event_id"]: r["running_sum"] for r in
+           windows.running_aggregate(ds, "user_id", "ts", "v").take_all()}
+    assert [out[i] for i in (1, 2, 3, 4)] == [10, 20, 30, 40]
+    assert [out[i] for i in (5, 6)] == [10, 20]
+
+
+def test_topk_per_group():
+    tbl = pa.table(
+        {
+            "g": ["a", "a", "a", "b"],
+            "score": pa.array([1.0, 3.0, 2.0, 9.0]),
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = windows.topk_per_group(
+        ray.data.from_arrow(tbl), key="g", order_cols=["score", "id"], k=2,
+        descending=[True, False],
+    ).take_all()
+    got = sorted((r["g"], r["rnk"], r["id"]) for r in out)
+    assert got == [("a", 1, 2), ("a", 2, 3), ("b", 1, 4)]
+
+
+def test_semi_and_anti_join():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "v": ["a", "b", "c", "d"]})
+    )
+    right = pa.table({"rk": pa.array([2, 4, 9], pa.int64())})
+    semi = sorted(r["k"] for r in relational.broadcast_semi_join(
+        left, right, keys=["k"], right_key_cols=["rk"]).take_all())
+    anti = sorted(r["k"] for r in relational.broadcast_semi_join(
+        left, right, keys=["k"], right_key_cols=["rk"], anti=True).take_all())
+    assert semi == [2, 4]
+    assert anti == [1, 3]
