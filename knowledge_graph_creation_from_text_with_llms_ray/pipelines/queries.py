@@ -51,7 +51,12 @@ def _triples(sf_dir: str) -> ray.data.Dataset:
     return parse_responses(generate_responses(chunks, concurrency=(1, 4)))
 
 
-def _linked(sf_dir: str, strategy: str = "broadcast") -> ray.data.Dataset:
+def _linked(
+    sf_dir: str,
+    strategy: str = "broadcast",
+    method: str = "api",
+    use_aliases: bool = True,
+) -> ray.data.Dataset:
     t = _triples(sf_dir)
     dict_ref = ray.put(build_fixture_dict())
     if strategy == "shuffle":
@@ -59,8 +64,10 @@ def _linked(sf_dir: str, strategy: str = "broadcast") -> ray.data.Dataset:
         # upstream actor pools; keep partitions small at test scale
         # (and materialize upstream so the join starts with free CPUs).
         t = t.materialize()
-        return link_triples_shuffle(t, dict_ref, num_partitions=2)
-    return link_triples(t, dict_ref)
+        return link_triples_shuffle(
+            t, dict_ref, method=method, use_aliases=use_aliases, num_partitions=2
+        )
+    return link_triples(t, dict_ref, method=method, use_aliases=use_aliases)
 
 
 # --------------------------------------------------------------------------
@@ -103,6 +110,26 @@ def q_kg_edges_shuffle(sf_dir: str):
     (distinct surfaces → resolve once → 3 hash joins) — the same oracle
     SQL verifies both strategies."""
     return materialize_edges(_linked(sf_dir, strategy="shuffle"))
+
+
+def q_kg_linked_mixed(sf_dir: str):
+    """``mixed`` method: exact label/alias match first, cosine fallback
+    on miss (``Matcher.py:150-156``).  On this corpus every predicate
+    has an exact dictionary hit, so the result equals the ``api`` path
+    — which is exactly what the shared oracle verifies (the cosine
+    fallback itself is covered by unit tests with near-miss surfaces)."""
+    return _linked(sf_dir, method="mixed").select_columns(
+        ["subject", "predicate", "object", "subject_id", "predicate_id", "object_id", "is_literal"]
+    )
+
+
+def q_kg_linked_noalias(sf_dir: str):
+    """``use_aliases=False``: resolution sees only label rows (the
+    reference's 'simple' dictionary format, ``WikidataEmbeddingGenerator
+    .py:184-234``) — alias-only surfaces go unresolved."""
+    return _linked(sf_dir, use_aliases=False).select_columns(
+        ["subject", "predicate", "object", "subject_id", "predicate_id", "object_id", "is_literal"]
+    )
 
 
 def q_kg_nodes(sf_dir: str):
@@ -676,7 +703,7 @@ def q_mm_frame_sample(sf_dir: str):
 # Oracle SQL
 # --------------------------------------------------------------------------
 
-def _kg_cte() -> str:
+def _kg_cte(dict_filter: str = "") -> str:
     return f"""
 WITH base AS (
   SELECT source AS repo, 'doc_' || doc_id || '.txt' AS path, text, length(text) AS n
@@ -712,7 +739,7 @@ resolved AS (
            PARTITION BY kind, lower(alias)
            ORDER BY (alias = label) DESC, rank, id
          ) AS rn
-  FROM dict
+  FROM dict{dict_filter}
 ),
 win AS (SELECT kind, key, id FROM resolved WHERE rn = 1),
 linked AS (
@@ -753,6 +780,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": kg
         + "SELECT path, chunk_id, subject, predicate, object FROM triples",
         "kg_linked": kg
+        + "SELECT subject, predicate, object, subject_id, predicate_id, object_id,"
+        " is_literal FROM linked",
+        "kg_linked_mixed": kg
+        + "SELECT subject, predicate, object, subject_id, predicate_id, object_id,"
+        " is_literal FROM linked",
+        "kg_linked_noalias": _kg_cte(dict_filter=" WHERE rank = 0")
         + "SELECT subject, predicate, object, subject_id, predicate_id, object_id,"
         " is_literal FROM linked",
         "kg_edges": kg + "SELECT * FROM edges",
@@ -953,6 +986,8 @@ def queries():
         "kg_linked": q_kg_linked,
         "kg_edges": q_kg_edges,
         "kg_edges_shuffle": q_kg_edges_shuffle,
+        "kg_linked_mixed": q_kg_linked_mixed,
+        "kg_linked_noalias": q_kg_linked_noalias,
         "kg_stats": q_kg_stats,
         "kg_nodes": q_kg_nodes,
         "kg_distinct_surfaces": q_kg_distinct_surfaces,
