@@ -28,6 +28,25 @@ _JAVA_IMPORT_RE = re.compile(r"(?m)^[ \t]*import[ \t]+(\w+(?:\.\w+)*)[ \t]*;")
 
 _WS_RE = re.compile(r"[ \t]+")
 
+_HTML_TABLE_RE = re.compile(r"<table\b.*?</table\s*>", re.S | re.I)
+_HTML_SUP_REF_RE = re.compile(
+    r"<sup\b[^>]*class=(?:\"[^\"]*reference[^\"]*\"|'[^']*reference[^']*')[^>]*>.*?</sup\s*>",
+    re.S | re.I,
+)
+_HTML_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.S | re.I)
+_HTML_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def html_to_text(content: str) -> str:
+    """The reference's HTML cleaning + paragraph projection
+    (``Extractor.py:52-70``: decompose all ``<table>`` and
+    ``<sup class="reference">``; ``:127``: join of ``<p>`` texts),
+    regex-based (no bs4 dependency) for well-formed markup."""
+    cleaned = _HTML_TABLE_RE.sub("", content)
+    cleaned = _HTML_SUP_REF_RE.sub("", cleaned)
+    paras = [_HTML_TAG_RE.sub("", p) for p in _HTML_P_RE.findall(cleaned)]
+    return " ".join(paras)
+
 
 def module_name_from_path(path: str) -> str:
     """``src/mod_3/file_7.py`` → ``file_7`` (the document's own symbol)."""
@@ -55,6 +74,8 @@ def content_to_text(content: str, lang: str, module: str) -> str:
         imports = _JAVA_IMPORT_RE.findall(content)
         import_sents = [f"{module} imports {m}." for m in imports]
         text = _clean_join(doc + comments + import_sents)
+    elif lang == "html":
+        text = html_to_text(content)
     else:  # markdown / text / natural-language docs: content is the prose
         text = content
     return _WS_RE.sub(" ", text.replace("\n", " ")).strip()

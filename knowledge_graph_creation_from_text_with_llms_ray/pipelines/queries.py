@@ -65,7 +65,12 @@ def _linked(
         # (and materialize upstream so the join starts with free CPUs).
         t = t.materialize()
         return link_triples_shuffle(
-            t, dict_ref, method=method, use_aliases=use_aliases, num_partitions=2
+            t,
+            dict_ref,
+            method=method,
+            use_aliases=use_aliases,
+            num_partitions=2,
+            stepwise=True,  # robust down to tiny driver sessions
         )
     return link_triples(t, dict_ref, method=method, use_aliases=use_aliases)
 

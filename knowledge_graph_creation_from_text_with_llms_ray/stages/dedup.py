@@ -298,7 +298,11 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard over MinHash-LSH candidates: the LSH
     recall stage prunes the quadratic space, the exact verify stage
-    keeps pairs with true Jaccard ≥ threshold."""
+    keeps pairs with true Jaccard ≥ threshold.
+
+    NOTE: the verify stage broadcasts an id→text map built driver-side
+    (fine at fixture scale); at corpus scale replace it with two hash
+    joins of the candidate pairs against the text table."""
     candidates = minhash_lsh_pairs(
         ds,
         text_col=text_col,

@@ -229,9 +229,16 @@ def link_triples_shuffle(
     use_aliases: bool = True,
     concurrency: int | tuple[int, int] = (1, 4),
     num_partitions: int = 16,
+    stepwise: bool = False,
 ) -> ray.data.Dataset:
     """Shuffle strategy: distinct surfaces → resolve once per key →
-    three hash joins back onto (subject, predicate, object)."""
+    three hash joins back onto (subject, predicate, object).
+
+    ``stepwise=True`` materializes between the joins so only one
+    hash-shuffle's aggregators exist at a time — required on tiny
+    clusters (measured: at 4 CPUs the concurrent aggregator
+    ``request_resources`` of stacked joins deadlocks); on real clusters
+    leave it off and let the joins pipeline."""
     resolved = distinct_surfaces(ds).map_batches(
         SurfaceResolverActor,
         batch_format="pyarrow",
@@ -242,6 +249,9 @@ def link_triples_shuffle(
             "use_aliases": use_aliases,
         },
     )
+    if stepwise:
+        resolved = resolved.materialize()
+        ds = ds.materialize()
     ents = resolved.filter(expr="kind == 'entity'").drop_columns(["kind"])
     props = resolved.filter(expr="kind == 'property'").drop_columns(["kind"])
 
@@ -251,12 +261,16 @@ def link_triples_shuffle(
         num_partitions=num_partitions,
         on=("subject",),
     )
+    if stepwise:
+        out = out.materialize()
     out = out.join(
         props.rename_columns({"surface": "predicate", "resolved_id": "predicate_id"}),
         join_type="left_outer",
         num_partitions=num_partitions,
         on=("predicate",),
     )
+    if stepwise:
+        out = out.materialize()
     out = out.join(
         ents.rename_columns({"surface": "object", "resolved_id": "object_id"}),
         join_type="left_outer",

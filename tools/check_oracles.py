@@ -38,7 +38,7 @@ def _normalize(df):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    ray.init(address="local", num_cpus=8, include_dashboard=False)
+    ray.init(address="local", num_cpus=int(__import__("os").environ.get("CHECK_CPUS", "8")), include_dashboard=False)
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
 
