@@ -559,6 +559,39 @@ def q_rel_antijoin(sf_dir: str):
     )
 
 
+def q_rel_asof_join(sf_dir: str):
+    """As-of join: every event annotated with the value of the same
+    user's most recent 'click' event at-or-before it (composition op —
+    Ray Data has no native as-of join)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "value_c": _cents(b["value"]),
+            }
+        )
+
+    ev = events.map_batches(to_cents, batch_format="pyarrow")
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "value_c"]
+    )
+    out = windows.asof_join(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        right_value_cols=["value_c"],
+    )
+    return out.select_columns(["event_id", "user_id", "value_c_asof"])
+
+
 def q_rel_distinct_segments(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return relational.distinct(ds, ["c_mktsegment"])
@@ -881,6 +914,12 @@ SELECT event_type,
   count(*) AS n_events
 FROM events GROUP BY event_type""",
         "rel_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "rel_asof_join": """
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'click'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END IGNORE NULLS)
+  OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS value_c_asof
+FROM events""",
         "rel_sessionize": """
 WITH o AS (
   SELECT event_id, user_id, ts,
@@ -1007,6 +1046,7 @@ def queries():
         "rel_props_extract": q_rel_props_extract,
         "rel_distinct_segments": q_rel_distinct_segments,
         "rel_sessionize": q_rel_sessionize,
+        "rel_asof_join": q_rel_asof_join,
         "rel_running_sum": q_rel_running_sum,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_semijoin": q_rel_semijoin,

@@ -64,6 +64,83 @@ def running_aggregate(
     return ds.groupby(key).map_groups(_per_key, batch_format="pyarrow")
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> ray.data.Dataset:
+    """As-of join: for every left row, the latest right row of the same
+    key with ``right.ts <= left.ts`` (nulls when no prior right row).
+
+    Ray Data has no native as-of join; composition (SURVEY.md §2,
+    custom operators path (a)): tag both sides, union, one groupby on
+    the key, and a per-group merge over the time-sorted rows.  Shuffle
+    volume = both inputs moved once; the partitioning assumption is one
+    key's history per task (salt/split upstream for pathological keys).
+    """
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    right_schema = right.schema()
+    right_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    out_vals = [(c, c + suffix, right_types[c]) for c in right_value_cols]
+    # one unified schema so the two sides can union:
+    #   left cols … | <val>_asof … | __ts | __side
+    ordered = left_cols + [o for _, o, _ in out_vals] + ["__ts", "__side"]
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        for _, o, t in out_vals:
+            batch = batch.append_column(o, pa.nulls(batch.num_rows, t))
+        batch = batch.append_column("__ts", batch[ts_col].cast(pa.int64()))
+        batch = batch.append_column("__side", pa.array([0] * batch.num_rows, pa.int8()))
+        return batch.select(ordered)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            if c == key:
+                cols[c] = batch[key]
+            else:
+                cols[c] = pa.nulls(n, left_types[c])
+        for c, o, _t in out_vals:
+            cols[o] = batch[c]
+        cols["__ts"] = batch[ts_col].cast(pa.int64())
+        cols["__side"] = pa.array([1] * n, pa.int8())
+        return pa.table({name: cols[name] for name in ordered})
+
+    l_tagged = left.map_batches(_tag_left, batch_format="pyarrow", batch_size=None)
+    r_tagged = right.select_columns(
+        list(dict.fromkeys([key, ts_col] + right_value_cols))
+    ).map_batches(_tag_right, batch_format="pyarrow", batch_size=None)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"])
+        ts = np.asarray(group["__ts"])
+        l_idx = np.flatnonzero(side == 0)
+        out = group.take(pa.array(l_idx)).select(left_cols)
+        r_idx = np.flatnonzero(side == 1)
+        if len(r_idx) == 0:
+            for _, o, t in out_vals:
+                out = out.append_column(o, pa.nulls(out.num_rows, t))
+            return out
+        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
+        r_ts = ts[r_order]
+        pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
+        take_idx = pa.array(
+            [int(r_order[p]) if p >= 0 else None for p in pos], pa.int64()
+        )
+        for _, o, _t in out_vals:
+            out = out.append_column(o, group[o].take(take_idx))
+        return out
+
+    unioned = l_tagged.union(r_tagged)
+    return unioned.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key: str,

@@ -75,3 +75,37 @@ def test_semi_and_anti_join():
         left, right, keys=["k"], right_key_cols=["rk"], anti=True).take_all())
     assert semi == [2, 4]
     assert anti == [1, 3]
+
+
+def test_asof_join():
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base, base + dt.timedelta(minutes=5), base + dt.timedelta(minutes=9),
+                     base],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=1), base + dt.timedelta(minutes=7)],
+                    pa.timestamp("us"),
+                ),
+                "v": pa.array([100, 200], pa.int64()),
+            }
+        )
+    )
+    out = {r["event_id"]: r["v_asof"] for r in
+           windows.asof_join(left, right, key="user_id", ts_col="ts",
+                             right_value_cols=["v"]).take_all()}
+    assert out == {1: None, 2: 100, 3: 200, 4: None}
