@@ -592,6 +592,36 @@ def q_rel_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value_c_asof"])
 
 
+def q_rel_salted_agg(sf_dir: str):
+    """Explicitly salted two-phase aggregation (hot-key protection):
+    identical result to a plain GROUP BY, verified by the oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": b["l_partkey"], "qty_c": _cents(b["l_quantity"])})
+
+    out = relational.salted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        agg_specs=[("qty_c", "sum"), ("qty_c", "count")],
+        rename={"qty_c_sum": "sum_qty_c", "qty_c_count": "n_items"},
+        salt=8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "n_items": b["n_items"],
+                "sum_qty": pc.divide(pc.cast(b["sum_qty_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_rel_distinct_segments(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return relational.distinct(ds, ["c_mktsegment"])
@@ -914,6 +944,10 @@ SELECT event_type,
   count(*) AS n_events
 FROM events GROUP BY event_type""",
         "rel_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "rel_salted_agg": """
+SELECT l_partkey, count(*) AS n_items,
+  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+FROM lineitem GROUP BY l_partkey""",
         "rel_asof_join": """
 SELECT event_id, user_id,
   last_value(CASE WHEN event_type = 'click'
@@ -1047,6 +1081,7 @@ def queries():
         "rel_distinct_segments": q_rel_distinct_segments,
         "rel_sessionize": q_rel_sessionize,
         "rel_asof_join": q_rel_asof_join,
+        "rel_salted_agg": q_rel_salted_agg,
         "rel_running_sum": q_rel_running_sum,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_semijoin": q_rel_semijoin,

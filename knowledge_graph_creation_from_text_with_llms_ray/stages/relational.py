@@ -211,6 +211,60 @@ def bucketed_group_aggregate(
     )
 
 
+_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def salted_group_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    agg_specs: list[tuple[str, str]],
+    rename: dict[str, str] | None = None,
+    salt: int = 16,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Explicit key-salting for skewed hot keys: two-phase aggregation
+    where phase 1 groups on ``(keys…, __salt)`` — a hot key's rows
+    spread over ``salt`` sub-groups that aggregate in parallel on
+    different workers — and phase 2 merges the ≤``salt`` partials per
+    key.  Only associative/commutative functions (sum/count/min/max)
+    are accepted; that associativity is what makes salting exact
+    (SURVEY.md §4.3.3).
+
+    The per-batch combiners inside ``bucketed_group_aggregate`` already
+    bound skew at one row per (key, block); explicit salting adds
+    protection for the *aggregator* side when a single key's partials
+    alone overwhelm one task — the regime of the north rule's hot
+    stdlib-symbol entities.
+    """
+    for _col, fn in agg_specs:
+        if fn not in _MERGE_FN:
+            raise ValueError(f"non-associative aggregate {fn!r} cannot be salted")
+
+    def _add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic spread: row position within the block
+        import numpy as _np
+
+        return batch.append_column(
+            "__salt", pa.array(_np.arange(batch.num_rows) % salt, pa.int32())
+        )
+
+    salted = ds.map_batches(_add_salt, batch_format="pyarrow", batch_size=None)
+    phase1 = bucketed_group_aggregate(
+        salted, keys=keys + ["__salt"], agg_specs=agg_specs, num_buckets=num_buckets
+    )
+    merge_specs = [(f"{c}_{fn}", _MERGE_FN[fn]) for c, fn in agg_specs]
+    phase1 = phase1.drop_columns(["__salt"])
+    final_rename = {}
+    for (c, fn), (pc_, mfn) in zip(agg_specs, merge_specs):
+        out_default = f"{pc_}_{mfn}"
+        target = (rename or {}).get(f"{c}_{fn}", f"{c}_{fn}")
+        final_rename[out_default] = target
+    return bucketed_group_aggregate(
+        phase1, keys=keys, agg_specs=merge_specs, rename=final_rename,
+        num_buckets=num_buckets,
+    )
+
+
 def distinct(
     ds: ray.data.Dataset, keys: list[str], num_partitions: int | None = 8
 ) -> ray.data.Dataset:

@@ -73,3 +73,38 @@ def test_bucketed_group_aggregate_equals_native():
     merged = fast.merge(expected, on=["k1", "k2"])
     assert len(merged) == len(expected) == len(fast)
     assert (merged["total"] == merged["v"]).all()
+
+
+def test_salted_group_aggregate_exact_under_skew():
+    import numpy as np
+
+    # pathological skew: one key holds 90% of rows (the hot stdlib
+    # symbol of the north rule)
+    n = 20000
+    rng = np.random.RandomState(11)
+    hot = rng.rand(n) < 0.9
+    keys = np.where(hot, "len", np.char.add("k", rng.randint(0, 100, n).astype(str)))
+    tbl = pa.table(
+        {"sym": pa.array(keys.tolist()), "v": pa.array(rng.randint(0, 10, n), pa.int64())}
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = relational.salted_group_aggregate(
+        ds, keys=["sym"], agg_specs=[("v", "sum"), ("v", "count")],
+        rename={"v_sum": "total", "v_count": "n"}, salt=8, num_buckets=8,
+    ).to_pandas()
+    expected = (
+        tbl.to_pandas().groupby("sym", as_index=False)
+        .agg(total=("v", "sum"), n=("v", "count"))
+    )
+    merged = out.merge(expected, on="sym", suffixes=("", "_exp"))
+    assert len(merged) == len(expected) == len(out)
+    assert (merged["total"] == merged["total_exp"]).all()
+    assert (merged["n"] == merged["n_exp"]).all()
+
+
+def test_salted_rejects_non_associative():
+    ds = ray.data.from_arrow(pa.table({"k": ["a"], "v": pa.array([1], pa.int64())}))
+    import pytest
+
+    with pytest.raises(ValueError):
+        relational.salted_group_aggregate(ds, ["k"], [("v", "mean")])
