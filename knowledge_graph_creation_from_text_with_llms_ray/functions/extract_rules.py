@@ -28,27 +28,30 @@ from .textprep import CODE_LANGS
 
 _IDENT = r"(\w+(?:\.\w+)*)"
 
-# (compiled_pattern, predicate_text); scanned in order, matches in text order.
-CODE_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(_IDENT + r" extends " + _IDENT), "extends"),
-    (re.compile(_IDENT + r" implements " + _IDENT), "implements"),
-    (re.compile(_IDENT + r" imports " + _IDENT), "imports"),
-    (re.compile(_IDENT + r" depends on " + _IDENT), "depends on"),
-    (re.compile(_IDENT + r" calls " + _IDENT), "calls"),
-    (re.compile(_IDENT + r" authored by " + _IDENT), "authored by"),
-    (re.compile(_IDENT + r" is a " + _IDENT), "is a"),
-]
+CODE_VERBS = (
+    "extends",
+    "implements",
+    "imports",
+    "depends on",
+    "calls",
+    "authored by",
+    "is a",
+)
+# Single-pass alternation: one scan instead of one per verb (matches in
+# text order; verbs are distinct literals so alternation order cannot
+# change what matches at a position).
+CODE_RULE_RE = re.compile(
+    _IDENT + r" (" + "|".join(CODE_VERBS) + r") " + _IDENT
+)
 
 DOC_VERBS = ("join", "merge", "sort", "filter", "scan", "group")
 DOC_RULE_RE = re.compile(r"([a-z]+) (" + "|".join(DOC_VERBS) + r") ([a-z]+)")
 
 
 def extract_code_triples(text: str) -> list[tuple[str, str, str]]:
-    out: list[tuple[str, str, str]] = []
-    for pattern, predicate in CODE_RULES:
-        for m in pattern.finditer(text):
-            out.append((m.group(1), predicate, m.group(2)))
-    return out
+    return [
+        (m.group(1), m.group(2), m.group(3)) for m in CODE_RULE_RE.finditer(text)
+    ]
 
 
 def extract_doc_triples(text: str) -> list[tuple[str, str, str]]:

@@ -95,9 +95,22 @@ def extract_triples_from_response(response: str) -> list[tuple[str, str, str]]:
     read-grammar parse.  Equivalent to the reference's file round-trip
     (generator writes ``*_triples.txt``, integrator reads it back) but
     with no filesystem in between.
+
+    Fast path: for parts containing no quote and no comma, the
+    serialize→parse round trip provably reduces to the identity (the
+    formatted line splits exactly at the three quoted boundaries and
+    the boundary quotes strip back off) — the full parser runs only for
+    parts that can interact with the quote-aware splitter.
     """
     out = []
     for s, p, o in parse_response_lines(response):
+        if (
+            '"' not in s and "," not in s
+            and '"' not in p and "," not in p
+            and '"' not in o and "," not in o
+        ):
+            out.append((s, p, o))
+            continue
         t = parse_triple_line(format_triple_line(s, p, o))
         if t is not None:
             out.append(t)
