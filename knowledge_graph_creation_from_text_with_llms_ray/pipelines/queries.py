@@ -161,18 +161,23 @@ def q_kg_distinct_surfaces(sf_dir: str):
 def q_kg_stats(sf_dir: str):
     """Graph statistics (A1, ``GraphManager.py:57-69``) computed as
     distributed aggregates over the edges dataset — total triples and
-    per-component distinct counts."""
-    edges = materialize_edges(_linked(sf_dir))
+    per-component distinct counts.  Fully distributed: each distinct
+    count is a one-column ``relational.distinct`` (local per-batch
+    dedup combiner, then a narrow single-column shuffle) followed by a
+    ``count()`` — the edge table never lands on the driver."""
+    edges = materialize_edges(_linked(sf_dir)).materialize()
     total = edges.count()  # distributed
-    # per-component distincts over the (small, already-deduped) edge
-    # table; at 100 TB these become groupby-count or HLL sketches
-    df = edges.select_columns(["subject_id", "predicate_id", "object_id"]).to_pandas()
+    uniq = {}
+    for col in ("subject_id", "predicate_id", "object_id"):
+        uniq[col] = relational.distinct(
+            edges.select_columns([col]), [col], num_partitions=4
+        ).count()
     return pa.table(
         {
             "total_triples": pa.array([total], pa.int64()),
-            "unique_subjects": pa.array([df["subject_id"].nunique()], pa.int64()),
-            "unique_predicates": pa.array([df["predicate_id"].nunique()], pa.int64()),
-            "unique_objects": pa.array([df["object_id"].nunique()], pa.int64()),
+            "unique_subjects": pa.array([uniq["subject_id"]], pa.int64()),
+            "unique_predicates": pa.array([uniq["predicate_id"]], pa.int64()),
+            "unique_objects": pa.array([uniq["object_id"]], pa.int64()),
         }
     )
 

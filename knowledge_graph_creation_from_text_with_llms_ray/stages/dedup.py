@@ -43,19 +43,23 @@ MAX_BUCKET = 256
 
 
 def _keep_min_id_local(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """First row per text value within a block — vectorized: sort by
+    (text, id), keep rows whose text differs from the previous row
+    (Arrow neighbor-compare, no Python loop)."""
     order = pc.sort_indices(
         batch, sort_keys=[(text_col, "ascending"), (id_col, "ascending")]
     )
     sorted_batch = batch.take(order)
-    texts = sorted_batch[text_col]
-    keep_mask = np.ones(len(texts), dtype=bool)
-    prev = None
-    tl = texts.to_pylist()
-    for i, t in enumerate(tl):
-        if t == prev:
-            keep_mask[i] = False
-        prev = t
-    return sorted_batch.filter(pa.array(keep_mask))
+    n = sorted_batch.num_rows
+    if n <= 1:
+        return sorted_batch
+    texts = sorted_batch[text_col].combine_chunks()
+    a, b = texts.slice(1), texts.slice(0, n - 1)
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+    neq = pc.fill_null(pc.not_equal(a, b), True)  # one-side-null → differs
+    keep_tail = pc.and_(neq, pc.invert(both_null))
+    keep = pa.concat_arrays([pa.array([True]), keep_tail.combine_chunks() if isinstance(keep_tail, pa.ChunkedArray) else keep_tail])
+    return sorted_batch.filter(keep)
 
 
 def _keep_min_id_group(batch: pa.Table, id_col: str) -> pa.Table:

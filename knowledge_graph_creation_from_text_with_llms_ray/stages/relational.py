@@ -138,6 +138,23 @@ def topk(
     return partials.sort(keys, descending=desc).limit(k)
 
 
+def _combined_key_array(tbl: pa.Table, cols: list[str]) -> pa.Array | None:
+    """One string key per row (vectorized) for multi-column membership
+    tests; None when a column has nulls (caller falls back to the exact
+    row-tuple path, where None == None semantics matter)."""
+    parts = []
+    for c in cols:
+        col = tbl[c]
+        if col.null_count > 0:
+            return None
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        parts.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
 def broadcast_semi_join(
     ds: ray.data.Dataset,
     right_keys: pa.Table,
@@ -148,20 +165,50 @@ def broadcast_semi_join(
     """Semi-join (``EXISTS``) / anti-join (``NOT EXISTS``) against a
     broadcast key set: keep left rows whose key combination does (not)
     appear in the right table.  The right side ships as a ``ray.put``
-    key-set once — never per batch."""
+    key-set once — never per batch.  The membership test is a single
+    vectorized ``pc.is_in`` over a combined key column; the per-row
+    tuple path survives only as the null-key fallback."""
     right_key_cols = right_key_cols or keys
+    right_arr = _combined_key_array(right_keys, right_key_cols)
+    if right_arr is not None:
+        value_set = pc.unique(right_arr)
+        set_ref = ray.put(value_set)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            vs = ray.get(set_ref)
+            left_arr = _combined_key_array(batch, keys)
+            if left_arr is not None:
+                mask = pc.is_in(left_arr, value_set=vs)
+                return batch.filter(pc.invert(mask) if anti else mask)
+            # null-key rows never match (the right side had no nulls)
+            kset = set(vs.to_pylist())
+            cast_cols = [
+                pc.cast(batch[k], pa.string()).to_pylist() for k in keys
+            ]
+            pymask = [
+                (
+                    all(v is not None for v in row)
+                    and ("\x1f".join(row) if len(keys) > 1 else row[0]) in kset
+                )
+                != anti
+                for row in zip(*cast_cols)
+            ]
+            return batch.filter(pa.array(pymask, pa.bool_()))
+
+        return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+
     key_set = set(
         zip(*(right_keys[c].to_pylist() for c in right_key_cols))
     )
     keys_ref = ray.put(key_set)
 
-    def _filter(batch: pa.Table) -> pa.Table:
+    def _filter_tuples(batch: pa.Table) -> pa.Table:
         kset = ray.get(keys_ref)
         cols = [batch[k].to_pylist() for k in keys]
         mask = [(tuple(row) in kset) != anti for row in zip(*cols)]
         return batch.filter(pa.array(mask, pa.bool_()))
 
-    return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(_filter_tuples, batch_format="pyarrow", batch_size=None)
 
 
 def bucketed_group_aggregate(
@@ -183,20 +230,55 @@ def bucketed_group_aggregate(
     aggregate tuples, e.g. ``[("partial_count", "sum")]``; output
     columns ``<col>_<fn>`` can be renamed via ``rename``.
     """
-    import zlib
-
     sep = "\x1f"
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        parts = [
-            pc.cast(batch[k], pa.string()) if batch[k].type != pa.string() else batch[k]
-            for k in keys
-        ]
-        joined = pc.binary_join_element_wise(*parts, sep)
-        buckets = pa.array(
-            [zlib.crc32(x.encode()) % num_buckets for x in joined.to_pylist()],
-            pa.int32(),
-        )
+        # Bucket assignment only has to be consistent within a run (all
+        # rows of a key → same bucket); the output row SET is identical
+        # for any bucketing function, so the fastest vectorized hash
+        # available wins.
+        import numpy as np
+
+        if len(keys) == 1 and pa.types.is_integer(batch[keys[0]].type):
+            # splitmix64-style integer mix — pure numpy
+            x = (
+                batch[keys[0]]
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            buckets = pa.array((x % np.uint64(num_buckets)).astype(np.int32))
+        else:
+            parts = [
+                pc.cast(batch[k], pa.string())
+                if batch[k].type != pa.string()
+                else batch[k]
+                for k in keys
+            ]
+            joined = (
+                pc.binary_join_element_wise(*parts, sep)
+                if len(parts) > 1
+                else parts[0]
+            )
+            try:  # Rust-vectorized string hash
+                import polars as pl
+
+                if isinstance(joined, pa.ChunkedArray):
+                    joined = joined.combine_chunks()
+                h = pl.from_arrow(joined).hash(seed=0).to_numpy()
+                buckets = pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+            except ImportError:  # pragma: no cover
+                import zlib
+
+                buckets = pa.array(
+                    [
+                        zlib.crc32(x.encode()) % num_buckets
+                        for x in joined.to_pylist()
+                    ],
+                    pa.int32(),
+                )
         return batch.append_column("__bucket", buckets)
 
     def _combine(group: pa.Table) -> pa.Table:
