@@ -85,13 +85,14 @@ def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
 def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
     """Split a signature into ``bands`` bands; one bucket key per band.
     Rows sharing any band key are near-dup candidates (classic
-    MinHash-LSH banding)."""
+    MinHash-LSH banding).  Key format is the plain hex join of the
+    band's lanes (not an md5 digest) so the correctness oracle can
+    reproduce the exact bucket keys in SQL."""
     rows = len(sig) // bands
     keys = []
     for bi in range(bands):
         band = sig[bi * rows : (bi + 1) * rows]
-        digest = hashlib.md5(band.tobytes()).hexdigest()[:16]
-        keys.append(f"{bi}:{digest}")
+        keys.append(f"{bi}:" + "-".join(f"{int(v):x}" for v in band))
     return keys
 
 

@@ -671,7 +671,7 @@ def q_dedup_simhash(sf_dir: str):
 
 def q_dedup_ngram(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.ngram_jaccard_pairs(ds, threshold=0.3, lsh_threshold=0.2, concurrency=(1, 2))
+    return dedup.ngram_jaccard_pairs(ds, threshold=0.3, concurrency=(1, 2))
 
 
 def q_dedup_embedding(sf_dir: str):
@@ -679,8 +679,13 @@ def q_dedup_embedding(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     # testdata embeddings are near-random (measured max pairwise cosine
-    # ≈0.47) — threshold tuned so the op has observable output.
-    return dedup.embedding_near_dup_pairs(ds, threshold=0.35, planes=6)
+    # ≈0.47) — threshold tuned so the op has observable output.  The
+    # cosine value itself is excluded from the compared columns (float
+    # summation-order differences vs the oracle); the pair SET is the
+    # contract.
+    return dedup.embedding_near_dup_pairs(ds, threshold=0.35, planes=6).select_columns(
+        ["id_a", "id_b"]
+    )
 
 
 def q_text_stats(sf_dir: str):

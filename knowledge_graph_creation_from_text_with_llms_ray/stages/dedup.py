@@ -28,7 +28,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import (
-    jaccard,
     lsh_band_keys,
     minhash_signature,
     ngram_set,
@@ -122,71 +121,94 @@ class MinHashActor:
         minhash_signature("warmup", num_perm, shingle_k)  # build param cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # The signature is carried as a little-endian uint32 blob: joins
+        # accept binary payload columns (Acero rejects fixed_size_list
+        # non-key fields) and the blob is the leanest shuffle encoding.
         sigs = [
-            minhash_signature(t or "", self.num_perm, self.k)
+            minhash_signature(t or "", self.num_perm, self.k).tobytes()
             for t in batch[self.text_col].to_pylist()
         ]
-        arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(sigs).astype(np.int64)), self.num_perm
-        )
-        return batch.append_column("minhash", arr)
+        return batch.append_column("minhash", pa.array(sigs, pa.binary()))
 
 
 def _band_explode(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
+    """(band_key, id) rows ONLY — the signature does NOT ride the band
+    shuffle (it used to, multiplying shuffle volume by the band count on
+    the widest column; signatures are re-attached to the *candidate
+    pairs* afterwards via two hash joins against the signature table)."""
     ids = batch[id_col].to_pylist()
     sigs = batch["minhash"].to_pylist()
-    out_ids, out_keys, out_sigs = [], [], []
+    out_ids, out_keys = [], []
     for i, sig in zip(ids, sigs):
-        sig_arr = np.asarray(sig, dtype=np.uint32)
+        sig_arr = np.frombuffer(sig, dtype=np.uint32)
         for key in lsh_band_keys(sig_arr, bands):
             out_ids.append(i)
             out_keys.append(key)
-            out_sigs.append(sig)
     return pa.table(
         {
             "band_key": pa.array(out_keys, pa.string()),
             id_col: pa.array(out_ids),
-            "minhash": pa.array(out_sigs),
         }
     )
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
-    n = group.num_rows
-    ids = group[id_col].to_pylist()
-    order = np.argsort(ids)
-    truncated = n > MAX_BUCKET
-    take = [int(j) for j in order[:MAX_BUCKET]]
-    sigs = [np.asarray(group["minhash"][j].as_py(), dtype=np.uint32) for j in take]
-    ids = [ids[j] for j in take]
-    a_out, b_out, est = [], [], []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            sim = float(np.mean(sigs[x] == sigs[y]))
-            if sim >= threshold:
-                lo, hi = sorted((ids[x], ids[y]))
-                a_out.append(lo)
-                b_out.append(hi)
-                est.append(sim)
+def _bucket_candidates(group: pa.Table, id_col: str) -> pa.Table:
+    """All (a < b) pairs within one band bucket, skew-capped at
+    MAX_BUCKET smallest ids (the overflow is flagged, not silent)."""
+    ids = sorted(group[id_col].to_pylist())
+    truncated = len(ids) > MAX_BUCKET
+    ids = ids[:MAX_BUCKET]
+    n = len(ids)
+    arr = np.asarray(ids)
+    xi, yi = np.triu_indices(n, k=1)
     return pa.table(
         {
-            "id_a": pa.array(a_out),
-            "id_b": pa.array(b_out),
-            "est_jaccard": pa.array(est, pa.float64()),
-            "truncated": pa.array([truncated] * len(a_out), pa.bool_()),
+            "id_a": pa.array(arr[xi]),
+            "id_b": pa.array(arr[yi]),
+            "truncated": pa.array([truncated] * len(xi), pa.bool_()),
         }
     )
 
 
-def _dedup_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _distinct_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """A pair can surface from several bands/buckets → distinct on
-    (id_a, id_b), keeping the max similarity seen."""
-    grouped = ds.groupby(["id_a", "id_b"]).max("est_jaccard")
-    return grouped.map_batches(
-        lambda b: b.rename_columns(
-            ["est_jaccard" if c == "max(est_jaccard)" else c for c in b.column_names]
-        ),
+    (id_a, id_b)."""
+    grouped = ds.groupby(["id_a", "id_b"]).count()
+    return grouped.drop_columns(["count()"])
+
+
+def _attach_pair_column(
+    pairs: ray.data.Dataset,
+    table: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    num_partitions: int = 4,
+    stepwise: bool = True,
+) -> ray.data.Dataset:
+    """Join ``value_col`` onto both pair sides → ``<value>_a``,
+    ``<value>_b`` (two hash joins — no driver-side materialization of
+    the value table)."""
+    from .relational import hash_join
+
+    def _renamer(mapping):
+        def _fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+
+        return _fn
+
+    side_a = table.map_batches(
+        _renamer({id_col: "id_a", value_col: f"{value_col}_a"}),
         batch_format="pyarrow",
+    )
+    out = hash_join(
+        pairs, side_a, on=("id_a",), num_partitions=num_partitions, stepwise=stepwise
+    )
+    side_b = table.map_batches(
+        _renamer({id_col: "id_b", value_col: f"{value_col}_b"}),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        out, side_b, on=("id_b",), num_partitions=num_partitions, stepwise=stepwise
     )
 
 
@@ -198,24 +220,61 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     concurrency: int | tuple = (1, 4),
+    stepwise: bool = True,
 ) -> ray.data.Dataset:
-    """shingle → minhash → band → bucket groupby → candidate pairs with
-    estimated Jaccard ≥ threshold.  Output: (id_a, id_b, est_jaccard)."""
+    """shingle → minhash → band → bucket groupby → candidate pairs →
+    signature joins → estimated Jaccard ≥ threshold.
+    Output: (id_a, id_b, est_jaccard).
+
+    Shuffle shape: band rows carry (band_key, id) only; full signatures
+    move exactly twice (once per pair side) keyed by id, not once per
+    band.  ``stepwise`` materializes around the joins (tiny-cluster
+    deadlock guard; turn off on real clusters)."""
     sigs = ds.map_batches(
         MinHashActor,
         batch_format="pyarrow",
         concurrency=concurrency,
         fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
-    )
+    ).select_columns([id_col, "minhash"])
+    if stepwise:
+        sigs = sigs.materialize()  # reused by banding AND both joins
     banded = sigs.map_batches(
         _band_explode, batch_format="pyarrow", fn_kwargs={"bands": bands, "id_col": id_col}
     )
-    pairs = banded.groupby("band_key").map_groups(
-        _bucket_pairs,
-        batch_format="pyarrow",
-        fn_kwargs={"id_col": id_col, "threshold": threshold},
+    cand = banded.groupby("band_key").map_groups(
+        _bucket_candidates, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
     )
-    return _dedup_pairs(pairs.drop_columns(["truncated"]))
+    pairs = _distinct_pairs(cand.drop_columns(["truncated"]))
+    with_sigs = _attach_pair_column(
+        pairs, sigs, id_col, "minhash", stepwise=stepwise
+    )
+
+    def _estimate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sig_a = np.frombuffer(
+            b"".join(batch["minhash_a"].to_pylist()), dtype=np.uint32
+        ).reshape(batch.num_rows, -1)
+        sig_b = np.frombuffer(
+            b"".join(batch["minhash_b"].to_pylist()), dtype=np.uint32
+        ).reshape(batch.num_rows, -1)
+        est = (sig_a == sig_b).mean(axis=1)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+    return with_sigs.map_batches(_estimate, batch_format="pyarrow")
 
 
 def _simhash_batch(batch: pa.Table, text_col: str) -> pa.Table:
@@ -291,61 +350,124 @@ def simhash_pairs(
     )
 
 
+def _gram_explode(
+    batch: pa.Table, text_col: str, id_col: str, n: int
+) -> pa.Table:
+    """Distinct (id, gram_hash) rows per document — the shuffle carries
+    an 8-byte md5-derived gram hash, never the gram text (both engines
+    hash with md5, so an improbable collision is *shared* and results
+    still agree)."""
+    from ..functions.hashing import hash64
+
+    out_ids, out_hashes = [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        for g in ngram_set(t or "", n):
+            out_ids.append(i)
+            out_hashes.append(hash64(g))
+    return pa.table(
+        {
+            id_col: pa.array(out_ids),
+            "gram_hash": pa.array(np.asarray(out_hashes, dtype=np.uint64)),
+        }
+    )
+
+
+def _gram_pairs(group: pa.Table, id_col: str, df_cap: int | None) -> pa.Table:
+    """(a < b) pairs of docs sharing this gram.  ``df_cap=None`` is the
+    exact mode (every co-occurrence counted, required for the Jaccard
+    arithmetic to be exact); an integer cap trades exactness for a skew
+    bound at extreme document frequencies — the capped grams are
+    dropped entirely (not sampled) so intersection counts stay
+    *consistent* between runs."""
+    ids = sorted(group[id_col].to_pylist())
+    if df_cap is not None and len(ids) > df_cap:
+        ids = []
+    arr = np.asarray(ids)
+    xi, yi = np.triu_indices(len(ids), k=1)
+    return pa.table({"id_a": pa.array(arr[xi]), "id_b": pa.array(arr[yi])})
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    lsh_threshold: float = 0.35,
     concurrency: int | tuple = (1, 4),
+    df_cap: int | None = None,
+    stepwise: bool = True,
 ) -> ray.data.Dataset:
-    """Exact word-n-gram Jaccard over MinHash-LSH candidates: the LSH
-    recall stage prunes the quadratic space, the exact verify stage
-    keeps pairs with true Jaccard ≥ threshold.
+    """EXACT word-n-gram Jaccard near-dup pairs, fully distributed.
 
-    NOTE: the verify stage broadcasts an id→text map built driver-side
-    (fine at fixture scale); at corpus scale replace it with two hash
-    joins of the candidate pairs against the text table."""
-    candidates = minhash_lsh_pairs(
-        ds,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=lsh_threshold,
-        concurrency=concurrency,
-    )
-    texts_ref = ray.put(
-        {
-            r[id_col]: r[text_col]
-            for r in ds.select_columns([id_col, text_col]).take_all()
-        }
-    )
+    Any pair with Jaccard > 0 shares at least one n-gram, so the
+    shared-gram buckets have perfect recall — no LSH estimate and no
+    driver-side text materialization anywhere:
 
-    class VerifyActor:
-        def __init__(self, texts_ref):
-            import ray as _ray
+    1. explode distinct (id, gram_hash) per doc;
+    2. |A| per doc via a combiner aggregation;
+    3. |A ∩ B| = groupby(pair).count() over per-gram (a, b) pairs;
+    4. |A|, |B| joined onto the pairs (two hash joins);
+    5. jaccard = inter / (|A| + |B| - inter) ≥ threshold.
 
-            self.texts = _ray.get(texts_ref)
+    Output: (id_a, id_b, jaccard).  ``df_cap`` optionally drops grams
+    shared by more than ``df_cap`` docs (skew guard; exact when None).
+    """
+    from .relational import pre_aggregated
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["id_a"].to_pylist()
-            b = batch["id_b"].to_pylist()
-            sims = [
-                jaccard(
-                    ngram_set(self.texts.get(x, ""), n),
-                    ngram_set(self.texts.get(y, ""), n),
-                )
-                for x, y in zip(a, b)
-            ]
-            out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
-
-    return candidates.map_batches(
-        VerifyActor,
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        _gram_explode,
         batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs={"texts_ref": texts_ref},
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
     )
+    if stepwise:
+        grams = grams.materialize()  # reused for sizes AND pairs
+    sizes = pre_aggregated(
+        grams, keys=[id_col], aggs={"n_grams": "gram_hash:count"},
+        num_partitions=4,
+    )
+    per_gram = grams.groupby("gram_hash").map_groups(
+        _gram_pairs,
+        batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "df_cap": df_cap},
+    )
+    inter = pre_aggregated(
+        per_gram.map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["id_a", "id_b"],
+        aggs={"inter": "one:sum"},
+        num_partitions=4,
+    )
+    with_sizes = _attach_pair_column(
+        inter, sizes, id_col, "n_grams", stepwise=stepwise
+    )
+
+    def _jaccard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        inter_n = np.asarray(batch["inter"], dtype=np.float64)
+        na = np.asarray(batch["n_grams_a"], dtype=np.float64)
+        nb = np.asarray(batch["n_grams_b"], dtype=np.float64)
+        jac = inter_n / (na + nb - inter_n)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return with_sizes.map_batches(_jaccard, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(
@@ -360,12 +482,15 @@ def embedding_near_dup_pairs(
     pairs; exact cosine verifies.  Output: (id_a, id_b, cosine)."""
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        # float64 throughout, and sign bits from the RAW vectors (the
+        # sign of v·p equals the sign of (v/‖v‖)·p) — keeps the bucket
+        # decision reproducible by the double-precision SQL oracle.
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         dim = vecs.shape[1]
         hyper = rng_planes(dim)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
-        bits = (unit @ hyper.T) > 0  # (n, 2*planes)
+        bits = (vecs @ hyper.T) > 0  # (n, 2*planes)
         ids = batch[id_col].to_pylist()
         o_key, o_id, o_vec = [], [], []
         for row, (i, v) in enumerate(zip(ids, unit)):
@@ -375,7 +500,7 @@ def embedding_near_dup_pairs(
                     word = (word << 1) | int(bits[row, s * planes + p])
                 o_key.append(f"{s}:{word:x}")
                 o_id.append(i)
-                o_vec.append(v.astype(np.float32))
+                o_vec.append(v)
         return pa.table(
             {
                 "bucket": pa.array(o_key, pa.string()),
@@ -388,11 +513,11 @@ def embedding_near_dup_pairs(
 
     def rng_planes(dim: int) -> np.ndarray:
         local = np.random.RandomState(7)  # fixed: same planes in every task
-        return local.standard_normal((2 * planes, dim)).astype(np.float32)
+        return local.standard_normal((2 * planes, dim))
 
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_pylist()
-        vecs = np.asarray(group["unit_vec"].to_pylist(), dtype=np.float32)
+        vecs = np.asarray(group["unit_vec"].to_pylist(), dtype=np.float64)
         order = np.argsort(ids)[:MAX_BUCKET]
         a_out, b_out, c_out = [], [], []
         sims = vecs[order] @ vecs[order].T

@@ -347,6 +347,34 @@ def salted_group_aggregate(
     )
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 4,
+    stepwise: bool = True,
+) -> ray.data.Dataset:
+    """Shuffle hash join wrapper around ``Dataset.join`` with the
+    tiny-cluster mitigations this repo standardizes on: materialize the
+    inputs first (``stepwise=True``) so the join's aggregator actors
+    start with free CPUs — stacked lazy joins deadlock below ~8 CPUs
+    when each join's aggregators issue ``request_resources``
+    concurrently.  On a real cluster pass ``stepwise=False`` and let
+    the joins pipeline."""
+    if stepwise:
+        left = left.materialize()
+        right = right.materialize()
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
 def distinct(
     ds: ray.data.Dataset, keys: list[str], num_partitions: int | None = 8
 ) -> ray.data.Dataset:

@@ -57,8 +57,35 @@ def test_ngram_jaccard_exact_verification():
     a = "one two three four five six seven eight nine ten"
     ds = _docs([(1, a), (2, a), (3, "x y z w v u t s r q")])
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
-           dedup.ngram_jaccard_pairs(ds, threshold=0.9, lsh_threshold=0.5, concurrency=1).take_all()}
+           dedup.ngram_jaccard_pairs(ds, threshold=0.9, concurrency=1).take_all()}
     assert out == {(1, 2): 1.0}
+
+
+def test_ngram_jaccard_matches_bruteforce():
+    """The distributed shared-gram pipeline must equal the all-pairs
+    set computation exactly (it IS exact — no LSH estimate)."""
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import jaccard, ngram_set
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g x",
+        3: "a b c q r s t u",
+        4: "q r s t u v w x",
+        5: "completely different words here now",
+    }
+    ds = _docs(sorted(texts.items()))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(ds, threshold=0.1, concurrency=1).take_all()
+    }
+    want = {}
+    ids = sorted(texts)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            j = jaccard(ngram_set(texts[x], 3), ngram_set(texts[y], 3))
+            if j >= 0.1:
+                want[(x, y)] = j
+    assert got == want
 
 
 def test_embedding_near_dup_finds_planted_pair():
