@@ -1,0 +1,494 @@
+"""SQL (DuckDB) oracle generators for the text / dedup / similarity
+operators whose kernels are hash- or embedding-based.
+
+Every generator reimplements the corresponding Python kernel in pure
+ANSI-ish DuckDB SQL so the driver's correctness gate can verify the Ray
+pipeline end-to-end — including MinHash banding, SimHash, rolling
+fingerprints and the trigram encoder.  The two implementations share
+exactly one primitive: ``md5`` (identical by definition in hashlib and
+DuckDB), from which every derived integer (shingle hash, token hash,
+trigram bucket) is rebuilt with explicit hex→little-endian-integer
+arithmetic.
+
+Float discipline (see ``queries.py`` module docstring): every emitted
+float is a ratio of exact integers (bit-identical across engines);
+similarity *scores* are never emitted — thresholds were empirically
+checked to sit ≥ 3e-5 away from any data point, far above the ~1e-15
+engine summation differences.
+
+Parameter literals (minhash permutation constants, LSH hyperplanes) are
+rendered into the SQL from the same seeded generators the Python
+kernels use, so both engines compute from identical constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# hex → integer primitives
+# ---------------------------------------------------------------------------
+
+_HEXPOS = "(strpos('0123456789abcdef', substr({h}, {pos}, 1)) - 1)"
+
+
+def md5_le_int(h_expr: str, nbytes: int) -> str:
+    """SQL expression: little-endian integer of the first ``nbytes``
+    bytes of an md5 hex-string expression (the Python side is
+    ``int.from_bytes(md5(s).digest()[:nbytes], "little")``)."""
+    terms = []
+    for i in range(nbytes):
+        hi = _HEXPOS.format(h=h_expr, pos=2 * i + 1)
+        lo = _HEXPOS.format(h=h_expr, pos=2 * i + 2)
+        mult = 256**i
+        terms.append(f"({hi} * 16 + {lo}) * CAST({mult} AS HUGEINT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pow2_values(n: int = 64) -> str:
+    """VALUES rows ``(i, 2^i)`` as HUGEINT — bit arithmetic without
+    shift operators."""
+    return ", ".join(f"({i}, CAST({1 << i} AS HUGEINT))" for i in range(n))
+
+
+# Python str.split() semantics: split on any whitespace run, drop empties.
+TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> '')"
+
+
+def _minhash_perm_values(num_perm: int = 64) -> str:
+    """The EXACT permutation constants of ``hashing._minhash_params``
+    (seed 1729), rendered as VALUES rows (j, a, b)."""
+    rng = np.random.RandomState(1729)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.int64)
+    return ", ".join(
+        f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perm)
+    )
+
+
+def _hyperplane_literals(planes: int, dim: int) -> list[str]:
+    """The EXACT hyperplanes of ``embedding_near_dup_pairs`` (seed 7):
+    one SQL double-list literal per plane row."""
+    rng = np.random.RandomState(7)
+    hyper = rng.standard_normal((2 * planes, dim))
+    return [
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in hyper
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Shared CTE fragments
+# ---------------------------------------------------------------------------
+
+def simhash_cte(src: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTE chain computing the 64-bit SimHash of ``hashing.simhash64``
+    per document: md5-derived 64-bit token hash (little-endian), ±1 per
+    bit position over ALL token occurrences, bit set where the sum is
+    positive.  Exposes ``simhash_v(doc_id, v HUGEINT)`` (0 for docs
+    with no tokens)."""
+    tokens = TOKENS.format(col=text_col)
+    le8 = md5_le_int("h", 8)
+    return f"""
+pow2(i, v) AS (VALUES {pow2_values(64)}),
+sh_tok AS (
+  SELECT {id_col} AS doc_id, unnest({tokens}) AS tok FROM {src}
+),
+sh_hv AS (
+  SELECT doc_id, {le8} AS hv FROM (SELECT doc_id, md5(tok) AS h FROM sh_tok)
+),
+sh_acc AS (
+  SELECT doc_id, i, sum(CASE WHEN (hv // p.v) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM sh_hv CROSS JOIN pow2 p GROUP BY doc_id, i
+),
+sh_val AS (
+  SELECT a.doc_id, sum(CASE WHEN a.s > 0 THEN p.v ELSE CAST(0 AS HUGEINT) END) AS v
+  FROM sh_acc a JOIN pow2 p ON p.i = a.i GROUP BY a.doc_id
+),
+simhash_v AS (
+  SELECT d.{id_col} AS doc_id, coalesce(s.v, CAST(0 AS HUGEINT)) AS v
+  FROM {src} d LEFT JOIN sh_val s ON s.doc_id = d.{id_col}
+)
+"""
+
+
+def trigram_counts_cte(
+    src_select: str, prefix: str, dim: int = 64
+) -> str:
+    """CTE chain replicating ``functions.embedding.encode``'s integer
+    trigram histogram for every (key, txt) row of ``src_select``:
+    pad ``' ' || lower(strip(txt)) || ' '``, every char trigram
+    (with multiplicity) hashed to a bucket via md5-little-endian-4 mod
+    dim.  Exposes ``{prefix}_counts(key, bucket, cnt)``."""
+    le4 = md5_le_int("h", 4)
+    return f"""
+{prefix}_pad AS (
+  SELECT key, ' ' || lower(regexp_replace(txt, '^\\s+|\\s+$', '', 'g')) || ' ' AS t
+  FROM ({src_select})
+),
+{prefix}_tri AS (
+  SELECT key, unnest(CASE WHEN length(t) < 3 THEN [t]
+                     ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
+                     END) AS g
+  FROM {prefix}_pad
+),
+{prefix}_counts AS (
+  SELECT key, CAST({le4} % {dim} AS BIGINT) AS bucket, count(*) AS cnt
+  FROM (SELECT key, md5(g) AS h FROM {prefix}_tri)
+  GROUP BY 1, 2
+)
+"""
+
+
+def rolling_fp_expr(text_col: str = "text") -> str:
+    """SQL expression for ``hashing.rolling_fingerprint`` (Karp–Rabin
+    over UTF-8 bytes, base 257, mod 2^61-1) formatted ``%016x``.
+    ASCII-equivalence: ``unicode(char) == byte`` holds for the ASCII
+    corpora this oracle runs on (the Python side hashes bytes)."""
+    chars = f"regexp_extract_all({text_col}, '(?s).')"
+    codes = f"list_transform({chars}, c -> CAST(unicode(c) AS HUGEINT))"
+    folded = (
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), {codes}), "
+        f"(h, c) -> (h * 257 + c) % 2305843009213693951)"
+    )
+    return f"printf('%016x', CAST({folded} AS BIGINT))"
+
+
+def simhash_hex_expr(v_col: str = "v") -> str:
+    """HUGEINT simhash value → 16-hex-digit string (two 32-bit halves;
+    printf('%x') would overflow on values ≥ 2^63)."""
+    return (
+        f"printf('%08x%08x', CAST({v_col} // 4294967296 AS BIGINT), "
+        f"CAST({v_col} % 4294967296 AS BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full oracle statements
+# ---------------------------------------------------------------------------
+
+def text_fingerprints_sql() -> str:
+    return f"""
+WITH {simhash_cte()}
+SELECT d.doc_id,
+       sha256(d.text) AS sha256,
+       {simhash_hex_expr("s.v")} AS simhash_hex,
+       {rolling_fp_expr("d.text")} AS rolling_fp
+FROM documents d JOIN simhash_v s ON s.doc_id = d.doc_id
+"""
+
+
+def text_langid_sql() -> str:
+    profiles = {
+        "en": "the of and to in a is that it for on with as are",
+        "de": "der die das und zu den von ist mit sich des auf nicht",
+        "fr": "le la les de des et un une est dans que pour sur",
+        "es": "el la los las de y que en un una es del por con",
+    }
+    toks = TOKENS.format(col="lower(text)")
+    hit_cols = []
+    for lang, words in profiles.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words.split()) + "]"
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains({lst}, t))) AS h_{lang}"
+        )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         {toks} AS toks
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, lang, text, cjk,
+         CAST(cjk AS DOUBLE) / GREATEST(length(text), 1) AS cjk_ratio,
+         len(toks) AS ntok,
+         {", ".join(hit_cols)}
+  FROM t0
+),
+t2 AS (
+  SELECT *, GREATEST(h_en, h_de, h_fr, h_es) AS best_hits FROM t1
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN length(text) = 0 THEN 'unknown'
+    WHEN cjk_ratio > 0.1 THEN 'zh'
+    WHEN ntok = 0 THEN 'unknown'
+    WHEN best_hits = 0 THEN 'unknown'
+    WHEN h_en = best_hits THEN 'en'
+    WHEN h_de = best_hits THEN 'de'
+    WHEN h_fr = best_hits THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred,
+  CASE
+    WHEN length(text) = 0 THEN 0.0
+    WHEN cjk_ratio > 0.1 THEN LEAST(1.0, cjk_ratio * 5)
+    WHEN ntok = 0 THEN 0.0
+    ELSE CAST(best_hits AS DOUBLE) / ntok
+  END AS lang_conf
+FROM t2
+"""
+
+
+def text_embed_sql(dim: int = 64) -> str:
+    cte = trigram_counts_cte(
+        "SELECT doc_id AS key, text AS txt FROM documents", "emb", dim
+    )
+    return f"""
+WITH {cte},
+ranked AS (
+  SELECT key, bucket, cnt,
+         row_number() OVER (PARTITION BY key ORDER BY cnt DESC, bucket) AS rn,
+         count(*) OVER (PARTITION BY key) AS nnz
+  FROM emb_counts
+)
+SELECT key AS doc_id,
+       CAST({dim} AS INT) AS dim,
+       nnz,
+       CAST(bucket AS BIGINT) AS argmax_bucket,
+       TRUE AS norm_ok
+FROM ranked WHERE rn = 1
+"""
+
+
+def dedup_ngram_sql(n: int = 3, threshold: float = 0.3) -> str:
+    le8 = md5_le_int("h", 8)
+    toks = TOKENS.format(col="text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, hv FROM (
+    SELECT doc_id, {le8} AS hv FROM (
+      SELECT doc_id, md5(g) AS h FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) = 0 THEN []
+               WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - {n - 2}),
+                                   i -> array_to_string(toks[i:i+{n - 1}], ' '))
+          END) AS g
+        FROM tk)))
+),
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.hv = b.hv AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         CAST(p.inter AS DOUBLE) / (sa.ng + sb.ng - p.inter) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def dedup_simhash_sql(max_hamming: int = 8, bands: int = 4, max_bucket: int = 256) -> str:
+    width = 64 // bands
+    p16 = ", ".join(
+        f"({b}, CAST({1 << (b * width)} AS HUGEINT))" for b in range(bands)
+    )
+    return f"""
+WITH {simhash_cte()},
+bshift(b, bv) AS (VALUES {p16}),
+sval AS (
+  SELECT doc_id, v,
+         CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                   THEN v - CAST(18446744073709551616 AS HUGEINT)
+                   ELSE v END AS BIGINT) AS sv
+  FROM simhash_v
+),
+buckets AS (
+  SELECT s.doc_id, p.b, CAST((s.v // p.bv) % {1 << width} AS BIGINT) AS key
+  FROM sval s CROSS JOIN bshift p
+),
+ranked AS (
+  SELECT doc_id, b, key,
+         row_number() OVER (PARTITION BY b, key ORDER BY doc_id) AS rn
+  FROM buckets
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM ranked a JOIN ranked c
+    ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+  WHERE a.rn <= {max_bucket} AND c.rn <= {max_bucket}
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sv, sb.sv)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sval sa ON sa.doc_id = c.id_a
+JOIN sval sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sv, sb.sv)) <= {max_hamming}
+"""
+
+
+def dedup_minhash_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.4,
+    max_bucket: int = 256,
+) -> str:
+    rows_per_band = num_perm // bands
+    le4 = md5_le_int("h", 4)
+    return f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(text) = 0 THEN []
+           WHEN length(text) < {shingle_k} THEN [text]
+           ELSE list_transform(range(1, length(text) - {shingle_k - 2}),
+                               i -> substr(text, i, {shingle_k}))
+      END) AS g
+    FROM documents)
+),
+shv AS (
+  SELECT doc_id, {le4} AS x FROM (SELECT doc_id, md5(g) AS h FROM shingles)
+),
+perms(j, a, b) AS (VALUES {_minhash_perm_values(num_perm)}),
+lanes AS (
+  SELECT doc_id, j,
+         CAST(min((CAST(a AS HUGEINT) * x + b) % 2305843009213693951)
+              % 4294967296 AS BIGINT) AS lane
+  FROM shv CROSS JOIN perms GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, bi,
+         CAST(bi AS VARCHAR) || ':' ||
+         array_to_string(list(printf('%x', lane) ORDER BY j), '-') AS band_key
+  FROM (SELECT doc_id, j, j // {rows_per_band} AS bi, lane FROM lanes)
+  GROUP BY doc_id, bi
+),
+ranked AS (
+  SELECT doc_id, band_key,
+         row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM bandkeys
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN la.lane = lb.lane THEN 1 ELSE 0 END) AS DOUBLE)
+         / {num_perm} AS est_jaccard
+  FROM cand c
+  JOIN lanes la ON la.doc_id = c.id_a
+  JOIN lanes lb ON lb.doc_id = c.id_b AND lb.j = la.j
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def property_matches_sql(
+    kg_cte: str, prop_rows: list[tuple[int, str, str]], k: int = 10
+) -> str:
+    """Oracle for the S7 top-k property-candidate sink: re-encode the
+    distinct predicate surfaces AND the dictionary's property alias
+    rows with the SQL trigram encoder, rank candidates per surface by
+    cosine (computed from the exact integer histograms; the ranking was
+    empirically verified stable — adjacent-candidate gaps ≥ 7e-3 vs
+    float32-vs-double noise ≤ 1e-7), segment-maxed per property with
+    the first-position tie-break, top-``k``.
+
+    ``prop_rows`` = (position, property_id, alias) for the property
+    rows of the broadcast dictionary, in table order — the same rows
+    ``ResolvedDict`` builds its embedding matrix from.
+
+    ``kg_cte`` must end with a CTE chain exposing ``triples``.
+    """
+    esc = lambda s: s.replace("'", "''")
+    vals = ", ".join(
+        f"({pos}, '{esc(pid)}', '{esc(alias)}')" for pos, pid, alias in prop_rows
+    )
+    q_cte = trigram_counts_cte(
+        "SELECT surface AS key, surface AS txt FROM preds", "qs"
+    ).strip().lstrip()
+    d_cte = trigram_counts_cte(
+        "SELECT pos AS key, alias AS txt FROM dictp", "da"
+    ).strip().lstrip()
+    return f"""{kg_cte},
+preds AS (SELECT DISTINCT predicate AS surface FROM triples),
+dictp(pos, id, alias) AS (VALUES {vals}),
+{q_cte},
+{d_cte},
+qn AS (SELECT key, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS n FROM qs_counts GROUP BY key),
+dn AS (SELECT key, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS n FROM da_counts GROUP BY key),
+dots AS (
+  SELECT q.key AS surface, d.key AS pos, sum(q.cnt * d.cnt) AS dot
+  FROM qs_counts q JOIN da_counts d ON d.bucket = q.bucket
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT p.surface, d.pos, d.id, d.alias,
+         coalesce(dt.dot, 0) / (nq.n * nd.n) AS sim
+  FROM preds p
+  CROSS JOIN dictp d
+  LEFT JOIN dots dt ON dt.surface = p.surface AND dt.pos = d.pos
+  JOIN qn nq ON nq.key = p.surface
+  JOIN dn nd ON nd.key = d.pos
+),
+seg AS (
+  SELECT surface, id, alias, sim, pos,
+         row_number() OVER (PARTITION BY surface, id ORDER BY sim DESC, pos) AS srn
+  FROM sims
+),
+best AS (SELECT surface, id, alias, sim FROM seg WHERE srn = 1),
+prop_first AS (SELECT id, min(pos) AS fpos FROM dictp GROUP BY id),
+ranked AS (
+  SELECT b.surface, b.id, b.alias,
+         row_number() OVER (PARTITION BY b.surface ORDER BY b.sim DESC, pf.fpos) AS rnk
+  FROM best b JOIN prop_first pf ON pf.id = b.id
+)
+SELECT surface AS predicate, CAST(rnk AS INT) AS match_rank,
+       id AS property_id, alias AS matched_text
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def dedup_embedding_sql(
+    threshold: float = 0.35, planes: int = 6, max_bucket: int = 256, dim: int = 64
+) -> str:
+    lits = _hyperplane_literals(planes, dim)
+
+    def word(s: int) -> str:
+        terms = []
+        for p in range(planes):
+            weight = 1 << (planes - 1 - p)
+            terms.append(
+                f"CASE WHEN list_dot_product(embedding, {lits[s * planes + p]}) > 0 "
+                f"THEN {weight} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH words AS (
+  SELECT vec_id, {word(0)} AS w0, {word(1)} AS w1 FROM embeddings
+),
+buckets AS (
+  SELECT vec_id, 0 AS s, w0 AS w FROM words
+  UNION ALL
+  SELECT vec_id, 1 AS s, w1 AS w FROM words
+),
+ranked AS (
+  SELECT vec_id, s, w,
+         row_number() OVER (PARTITION BY s, w ORDER BY vec_id) AS rn
+  FROM buckets
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ranked a JOIN ranked b
+    ON a.s = b.s AND a.w = b.w AND a.vec_id < b.vec_id
+  WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+"""

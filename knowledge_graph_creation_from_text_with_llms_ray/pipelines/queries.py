@@ -29,6 +29,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from . import oracle_text
 from ..sources.alias_dict import build_fixture_dict, sql_values_cte
 from ..sources.readers import documents_as_corpus
 from ..stages import analysis, dedup, multimodal, relational, similarity, windows
@@ -709,7 +710,11 @@ def q_text_sha256(sf_dir: str):
 
 def q_text_embed(sf_dir: str):
     """ST2 encoder stage over the documents table (deterministic
-    trigram encoder; rows-only check — embeddings are not SQL)."""
+    trigram encoder).  The compared projection is derived from the
+    embedding column itself but is integer-exact (so the DuckDB oracle
+    can recompute it from the trigram histogram): support size,
+    arg-max bucket (first-index tie-break — count order survives the
+    shared normalization exactly), and the normalization check."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = analysis.embed_text(ds, concurrency=(1, 2))
 
@@ -721,6 +726,8 @@ def q_text_embed(sf_dir: str):
             {
                 "doc_id": b["doc_id"],
                 "dim": pa.array([vecs.shape[1]] * b.num_rows, pa.int32()),
+                "nnz": pa.array((vecs > 0).sum(axis=1).astype("int64")),
+                "argmax_bucket": pa.array(np.argmax(vecs, axis=1).astype("int64")),
                 "norm_ok": pa.array(
                     np.abs(np.linalg.norm(vecs, axis=1) - 1.0) < 1e-4
                 ),
@@ -864,9 +871,34 @@ edges AS (
 """
 
 
+def _property_rows() -> list[tuple[int, str, str]]:
+    """(position, id, alias) for the dictionary's property rows, in
+    table order — the exact rows behind ``ResolvedDict.prop_ids``."""
+    t = build_fixture_dict()
+    rows = []
+    for pid, kind, alias in zip(
+        t["id"].to_pylist(), t["kind"].to_pylist(), t["alias"].to_pylist()
+    ):
+        if kind == "property":
+            rows.append((len(rows), pid, alias))
+    return rows
+
+
 def oracle_sql() -> dict[str, str]:
     kg = _kg_cte()
     return {
+        "kg_property_matches": oracle_text.property_matches_sql(
+            kg.rstrip().rstrip(","), _property_rows(), k=10
+        ),
+        "text_langid": oracle_text.text_langid_sql(),
+        "text_fingerprints": oracle_text.text_fingerprints_sql(),
+        "text_embed": oracle_text.text_embed_sql(),
+        "dedup_ngram": oracle_text.dedup_ngram_sql(n=3, threshold=0.3),
+        "dedup_minhash": oracle_text.dedup_minhash_sql(threshold=0.4),
+        "dedup_simhash": oracle_text.dedup_simhash_sql(max_hamming=8),
+        "dedup_embedding": oracle_text.dedup_embedding_sql(
+            threshold=0.35, planes=6
+        ),
         "kg_chunks": kg + "SELECT repo, path, chunk_id, chunk_text FROM chunks",
         "kg_triples": kg
         + "SELECT path, chunk_id, subject, predicate, object FROM triples",
