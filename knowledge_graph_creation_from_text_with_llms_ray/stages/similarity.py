@@ -106,8 +106,8 @@ def deterministic_centroids(
     ds: ray.data.Dataset, n_cells: int, vec_col: str, id_col: str
 ) -> np.ndarray:
     """Deterministic coarse centroids: the vectors with the ``n_cells``
-    smallest ids (seed-free, stable across runs/cluster sizes; a k-means
-    refinement would broadcast the same way)."""
+    smallest ids (seed-free, stable across runs/cluster sizes; the
+    quality path is ``kmeans_centroids``)."""
     rows = (
         ds.select_columns([id_col, vec_col])
         .sort(id_col)
@@ -115,6 +115,73 @@ def deterministic_centroids(
         .take_all()
     )
     return _unit(np.asarray([r[vec_col] for r in rows], dtype=np.float32))
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return x ^ (x >> np.uint64(33))
+
+
+def kmeans_centroids(
+    ds: ray.data.Dataset,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic sampled spherical k-means centroids.
+
+    Sampling is an id-hash filter (``splitmix64(id) < p·2^64``) — the
+    sample is a pure function of the ids, independent of block layout
+    and cluster size, and its size is bounded, so collecting it on the
+    driver is safe at any corpus scale.  Lloyd iterations run in numpy
+    on the sample; empty cells reseed to the point farthest from its
+    assigned centroid (deterministic, index tie-break).  Returns unit
+    centroids (cosine / spherical k-means)."""
+    n = ds.count()
+    sample: list = []
+    if n > 0:
+        p = min(1.0, (4.0 * sample_size) / n)
+        thresh = np.uint64(min(int(p * 2.0**64), 2**64 - 1))
+
+        def _sample(batch):
+            import pyarrow as _pa
+
+            ids = (
+                batch[id_col]
+                .cast(_pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            mask = _splitmix(ids) <= thresh
+            return batch.filter(_pa.array(mask))
+
+        sample = (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(_sample, batch_format="pyarrow")
+            .take_all()
+        )
+    if not sample:  # degenerate corpus — fall back to smallest ids
+        return deterministic_centroids(ds, n_cells, vec_col, id_col)
+    sample.sort(key=lambda r: r[id_col])
+    sample = sample[: 4 * sample_size]
+    pts = _unit(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    k = min(n_cells, len(pts))
+    cents = pts[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(pts @ cents.T, axis=1)
+        sims = (pts * cents[assign]).sum(axis=1)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, pts)
+        norms = np.linalg.norm(new, axis=1)
+        for c in np.flatnonzero(norms == 0):  # empty cell → farthest point
+            far = int(np.argmin(sims))
+            new[c] = pts[far]
+            norms[c] = np.linalg.norm(pts[far])
+            sims[far] = np.inf
+        cents = new / norms[:, None]
+    return cents.astype(np.float32)
 
 
 def knn_ivf(
@@ -127,11 +194,17 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     concurrency: int | tuple = (1, 4),
+    centroids: str = "kmeans",
 ) -> ray.data.Dataset:
     """IVF-style ANN: assign each vector to its nearest centroid cell,
     score a query only against vectors in its ``nprobe`` closest cells.
-    Approximate by construction; recall grows with nprobe."""
-    cents = deterministic_centroids(ds, n_cells, vec_col, id_col)
+    Approximate by construction; recall grows with nprobe and with
+    centroid quality (``centroids="kmeans"`` = deterministic sampled
+    spherical k-means; ``"first"`` = smallest-id seeding)."""
+    if centroids == "kmeans":
+        cents = kmeans_centroids(ds, n_cells, vec_col, id_col)
+    else:
+        cents = deterministic_centroids(ds, n_cells, vec_col, id_col)
     cents_ref = ray.put(cents)
     qmat = _unit(np.asarray(query_matrix, dtype=np.float32))
     probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]

@@ -48,3 +48,85 @@ def test_ivf_recalls_self_and_near_neighbors():
     assert out, "ivf returned nothing"
     best = min(out, key=lambda r: r["rank"])
     assert best["vec_id"] == 0  # the probed cell always contains self
+
+
+def _clustered_embeddings(n_clusters=16, per_cluster=40, dim=16, seed=3):
+    """Vectors with real cluster structure (tight blobs around random
+    unit centers) — the regime where centroid quality matters."""
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per_cluster, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    vecs = vecs.astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        )
+    )
+    return ds, vecs
+
+
+def _recall(ds, vecs, centroids, n_cells=16, nprobe=4, k=10):
+    qids = [0, 17, 101, 333, 555]
+    qmat = vecs[qids]
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.knn_brute_force(ds, qids, qmat, k=k, concurrency=1).take_all()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.knn_ivf(
+            ds, qids, qmat, k=k, n_cells=n_cells, nprobe=nprobe,
+            concurrency=1, centroids=centroids,
+        ).take_all()
+    }
+    return len(ivf & brute) / len(brute)
+
+
+def test_ivf_kmeans_recall_gate_on_clustered_data():
+    """The quality gate from the round-1 verdict: sampled k-means
+    centroids must reach high recall on clustered data, and beat the
+    naive smallest-id seeding there (smallest-id centroids all fall in
+    few clusters, so most cells never form)."""
+    ds, vecs = _clustered_embeddings()
+    r_kmeans = _recall(ds, vecs, "kmeans")
+    r_first = _recall(ds, vecs, "first")
+    assert r_kmeans >= 0.9, r_kmeans
+    assert r_kmeans >= r_first, (r_kmeans, r_first)
+
+
+def test_ivf_recall_gate_on_testdata():
+    """Pinned recall@10 vs brute force on the driver's embeddings table
+    at the q_sim_topk_ivf configuration (measured 0.90; gate at 0.8)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = t.filter(pc.less(t["vec_id"], 5)).sort_by("vec_id")
+    ids = qt["vec_id"].to_pylist()
+    mat = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.knn_brute_force(ds, ids, mat, k=10, concurrency=1).take_all()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.knn_ivf(
+            ds, ids, mat, k=10, n_cells=16, nprobe=4, concurrency=1
+        ).take_all()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.8
+
+
+def test_kmeans_centroids_deterministic_across_block_layouts():
+    ds, vecs = _clustered_embeddings()
+    c1 = similarity.kmeans_centroids(ds, 16)
+    c2 = similarity.kmeans_centroids(ds.repartition(7), 16)
+    assert np.array_equal(c1, c2)
