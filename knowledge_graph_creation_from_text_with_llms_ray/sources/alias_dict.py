@@ -169,13 +169,13 @@ def build_dict_from_rows(rows: "ray.data.Dataset") -> pa.Table:
         )
 
     parts = rows.groupby("id").map_groups(_assemble, batch_format="pyarrow")
-    table = pa.Table.from_pandas(parts.to_pandas(), schema=None)
-    # cast list<float> back to fixed_size_list after the pandas hop
-    emb = np.asarray(
-        [list(v) for v in table["embedding"].to_pylist()], dtype=np.float32
-    )
-    fixed = pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), DIM)
-    table = table.drop_columns(["embedding"]).append_column("embedding", fixed)
+    refs = parts.to_arrow_refs()  # small artifact; Arrow end-to-end
+    import ray as _ray
+
+    tables = [t for t in _ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return DICT_SCHEMA.empty_table()
+    table = pa.concat_tables(tables)
     return table.sort_by([("id", "ascending"), ("rank", "ascending")])
 
 

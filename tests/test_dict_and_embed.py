@@ -71,3 +71,66 @@ def test_e5_metrics_are_import_gated():
         except ImportError:
             continue  # expected in this environment
         # if the libs exist, results must be well-formed dicts
+
+
+def test_wikidata_fetch_cli_from_canned_json(tmp_path):
+    """The offline dictionary-build CLI over a canned SPARQL response
+    (the fetch itself is network-gated): bindings -> grouped rows ->
+    parquet artifact with the reference's label/alias rank order."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_creation_from_text_with_llms_ray.sources import wikidata_fetch
+
+    canned = {
+        "results": {
+            "bindings": [
+                {
+                    "property": {"value": "http://www.wikidata.org/entity/P31"},
+                    "propertyLabel": {"value": "instance of"},
+                    "altLabel": {"value": "is a"},
+                },
+                {
+                    "property": {"value": "http://www.wikidata.org/entity/P31"},
+                    "propertyLabel": {"value": "instance of"},
+                    "altLabel": {"value": "is an"},
+                },
+                {
+                    "property": {"value": "http://www.wikidata.org/entity/P279"},
+                    "propertyLabel": {"value": "subclass of"},
+                },
+            ]
+        }
+    }
+    src = tmp_path / "resp.json"
+    src.write_text(json.dumps(canned))
+    out = tmp_path / "dict.parquet"
+    rc = wikidata_fetch.main(["--out", str(out), "--from-json", str(src)])
+    assert rc == 0
+    t = pq.read_table(out)
+    rows = sorted(
+        zip(
+            t["id"].to_pylist(),
+            t["rank"].to_pylist(),
+            t["alias"].to_pylist(),
+            t["label"].to_pylist(),
+        )
+    )
+    assert rows == [
+        ("P279", 0, "subclass of", "subclass of"),
+        ("P31", 0, "instance of", "instance of"),
+        ("P31", 1, "is a", "instance of"),
+        ("P31", 2, "is an", "instance of"),
+    ]
+    # artifact is loadable through the standard path incl. simple shape
+    from knowledge_graph_creation_from_text_with_llms_ray.sources.alias_dict import load_dict
+
+    simple = load_dict(str(out), use_aliases=False)
+    assert simple.num_rows == 2
+    # embeddings are fixed-size float32 lists, unit norm
+    import numpy as np
+
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    assert emb.shape[1] == 64
+    assert np.allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
