@@ -524,6 +524,42 @@ def q_rel_running_sum(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "running_sum"])
 
 
+def q_rel_sessionize_chunked(sf_dir: str):
+    """Same result as ``rel_sessionize`` through the skew-safe
+    time-chunked implementation (bounded per-task state; verified by
+    the same oracle)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = windows.sessionize_chunked(
+        ds, key="user_id", ts_col="ts", gap_seconds=1800.0, chunk_seconds=7200.0
+    )
+    return out.select_columns(["event_id", "user_id", "session_id", "event_seq"])
+
+
+def q_rel_running_sum_chunked(sf_dir: str):
+    """Same result as ``rel_running_sum`` through the chunked
+    boundary-carryover implementation."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "value_c": _cents(b["value"]),
+            }
+        )
+
+    out = windows.running_aggregate_chunked(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        ts_col="ts",
+        value_col="value_c",
+        chunk_seconds=7200.0,
+    )
+    return out.select_columns(["event_id", "user_id", "running_sum"])
+
+
 def q_rel_topk_per_group(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     orders = ray.data.read_parquet(
@@ -886,7 +922,7 @@ def _property_rows() -> list[tuple[int, str, str]]:
 
 def oracle_sql() -> dict[str, str]:
     kg = _kg_cte()
-    return {
+    out = {
         "kg_property_matches": oracle_text.property_matches_sql(
             kg.rstrip().rstrip(","), _property_rows(), k=10
         ),
@@ -1110,6 +1146,10 @@ SELECT doc_id AS media_id, CAST(f AS INT) AS frame_index
 FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) v,
      unnest(generate_series(0, v.n - 1, 8)) AS t(f)""",
     }
+    # the chunked window implementations share their originals' oracles
+    out["rel_sessionize_chunked"] = out["rel_sessionize"]
+    out["rel_running_sum_chunked"] = out["rel_running_sum"]
+    return out
 
 
 def queries():
@@ -1135,9 +1175,11 @@ def queries():
         "rel_props_extract": q_rel_props_extract,
         "rel_distinct_segments": q_rel_distinct_segments,
         "rel_sessionize": q_rel_sessionize,
+        "rel_sessionize_chunked": q_rel_sessionize_chunked,
         "rel_asof_join": q_rel_asof_join,
         "rel_salted_agg": q_rel_salted_agg,
         "rel_running_sum": q_rel_running_sum,
+        "rel_running_sum_chunked": q_rel_running_sum_chunked,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_semijoin": q_rel_semijoin,
         "rel_antijoin": q_rel_antijoin,

@@ -141,6 +141,232 @@ def asof_join(
     return unioned.groupby(key).map_groups(_merge, batch_format="pyarrow")
 
 
+def running_aggregate_chunked(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    chunk_seconds: float = 86400.0,
+    offsets_via: str = "broadcast",
+) -> ray.data.Dataset:
+    """Skew-safe cumulative sum: identical result to
+    ``running_aggregate`` but no task ever holds more than one
+    (key, time-chunk) slice, so a single hot key cannot exceed a
+    worker's memory.
+
+    Shape: rows are grouped by (key, ``ts // chunk_seconds``) — local
+    sort + cumsum per slice — while per-slice totals flow through a
+    combiner aggregation and a per-key exclusive prefix sum (tiny:
+    one row per nonempty slice).  The offsets rejoin the rows either
+    broadcast (default: offsets are ~#slices rows, orders of magnitude
+    smaller than the data) or via a hash join (``offsets_via="join"``)
+    when even the offsets outgrow a broadcast.
+
+    ``ds`` is consumed twice (rows + totals); pass a re-executable
+    pipeline (e.g. a parquet read) rather than a materialized monolith.
+    """
+    from .relational import broadcast_join, hash_join, pre_aggregated
+
+    chunk_us = int(chunk_seconds * 1_000_000)
+
+    def _add_chunk(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64())
+        return batch.append_column(
+            "__chunk", pc.divide(ts, chunk_us).cast(pa.int64())
+        )
+
+    chunked = ds.map_batches(_add_chunk, batch_format="pyarrow", batch_size=None)
+
+    def _local(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        g = group.take(order)
+        vals = np.asarray(g[value_col], dtype=np.int64)
+        return g.append_column("__local", pa.array(np.cumsum(vals), pa.int64()))
+
+    local = chunked.groupby([key, "__chunk"]).map_groups(
+        _local, batch_format="pyarrow"
+    )
+
+    totals = pre_aggregated(
+        chunked.select_columns([key, "__chunk", value_col]),
+        keys=[key, "__chunk"],
+        aggs={"__total": f"{value_col}:sum"},
+        num_partitions=4,
+    )
+
+    def _prefix(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("__chunk", "ascending")])
+        g = group.take(order)
+        tot = np.asarray(g["__total"], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(tot)[:-1]))
+        return pa.table(
+            {
+                key: g[key],
+                "__chunk": g["__chunk"],
+                "__offset": pa.array(offs, pa.int64()),
+            }
+        )
+
+    offsets = totals.groupby(key).map_groups(_prefix, batch_format="pyarrow")
+
+    if offsets_via == "broadcast":
+        off_tbl = pa.concat_tables(
+            [t for t in ray.get(offsets.to_arrow_refs()) if t.num_rows > 0]
+        )
+        joined = broadcast_join(
+            local, off_tbl, keys=[key, "__chunk"], join_type="inner"
+        )
+    else:
+        joined = hash_join(
+            local, offsets, on=(key, "__chunk"), num_partitions=4
+        )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        total = pc.add(batch["__local"], batch["__offset"])
+        out = batch.append_column(out_col, total.cast(pa.int64()))
+        return out.drop_columns(["__chunk", "__local", "__offset"])
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
+def sessionize_chunked(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    chunk_seconds: float = 86400.0,
+    offsets_via: str = "broadcast",
+) -> ray.data.Dataset:
+    """Skew-safe sessionization: identical output to ``sessionize``
+    with bounded per-task state.  Each (key, time-chunk) slice
+    sessionizes locally and emits, alongside its rows, one summary row
+    (first/last ts, session count, open-tail length).  A per-key merge
+    over the summaries (one row per nonempty slice) decides for every
+    slice whether its first local session continues the previous
+    slice's last session, and what the session-id / event-seq offsets
+    are; the adjustments rejoin the rows and apply vectorized.
+    """
+    from .relational import broadcast_join, hash_join
+
+    chunk_us = int(chunk_seconds * 1_000_000)
+    gap_us = gap_seconds * 1_000_000
+
+    def _add_chunk(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64())
+        return batch.append_column(
+            "__chunk", pc.divide(ts, chunk_us).cast(pa.int64())
+        )
+
+    chunked = ds.map_batches(_add_chunk, batch_format="pyarrow", batch_size=None)
+
+    def _local(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        g = group.take(order)
+        ts = np.asarray(g[ts_col].cast(pa.int64()))
+        gaps = np.diff(ts, prepend=ts[:1]) > gap_us
+        session = np.cumsum(gaps) + 1
+        seq = np.arange(len(ts)) - np.maximum.accumulate(
+            np.where(gaps, np.arange(len(ts)), 0)
+        ) + 1
+        rows = (
+            g.append_column("__sess", pa.array(session.astype(np.int64)))
+            .append_column("__seq", pa.array(seq.astype(np.int64)))
+            .append_column("__is_summary", pa.array([False] * len(ts)))
+            .append_column("__first_ts", pa.nulls(len(ts), pa.int64()))
+            .append_column("__last_ts", pa.nulls(len(ts), pa.int64()))
+            .append_column("__n_sess", pa.nulls(len(ts), pa.int64()))
+            .append_column("__tail", pa.nulls(len(ts), pa.int64()))
+        )
+        tail = int((session == session[-1]).sum())
+        summary_cols = {}
+        for name in g.column_names:
+            if name == key:
+                summary_cols[name] = g[key].slice(0, 1)
+            elif name == "__chunk":
+                summary_cols[name] = g["__chunk"].slice(0, 1)
+            else:
+                summary_cols[name] = pa.nulls(1, g[name].type)
+        summary_cols["__sess"] = pa.nulls(1, pa.int64())
+        summary_cols["__seq"] = pa.nulls(1, pa.int64())
+        summary_cols["__is_summary"] = pa.array([True])
+        summary_cols["__first_ts"] = pa.array([int(ts[0])], pa.int64())
+        summary_cols["__last_ts"] = pa.array([int(ts[-1])], pa.int64())
+        summary_cols["__n_sess"] = pa.array([int(session[-1])], pa.int64())
+        summary_cols["__tail"] = pa.array([tail], pa.int64())
+        summary = pa.table(
+            {n: summary_cols[n] for n in rows.column_names}
+        ).cast(rows.schema)
+        return pa.concat_tables([rows, summary])
+
+    combined = chunked.groupby([key, "__chunk"]).map_groups(
+        _local, batch_format="pyarrow"
+    ).materialize()
+
+    rows = combined.filter(expr="__is_summary == False").drop_columns(
+        ["__is_summary", "__first_ts", "__last_ts", "__n_sess", "__tail"]
+    )
+    summaries = combined.filter(expr="__is_summary == True").select_columns(
+        [key, "__chunk", "__first_ts", "__last_ts", "__n_sess", "__tail"]
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("__chunk", "ascending")])
+        g = group.take(order)
+        first_ts = g["__first_ts"].to_pylist()
+        last_ts = g["__last_ts"].to_pylist()
+        n_sess = g["__n_sess"].to_pylist()
+        tails = g["__tail"].to_pylist()
+        sess_off, seq_off = [], []
+        prev_last = None
+        sessions_cum = 0
+        tail_len = 0
+        for i in range(g.num_rows):
+            merged = prev_last is not None and (first_ts[i] - prev_last) <= gap_us
+            so = sessions_cum - (1 if merged else 0)
+            qo = tail_len if merged else 0
+            sess_off.append(so)
+            seq_off.append(qo)
+            sessions_cum = so + n_sess[i]
+            tail_len = tails[i] + (qo if n_sess[i] == 1 else 0)
+            prev_last = last_ts[i]
+        return pa.table(
+            {
+                key: g[key],
+                "__chunk": g["__chunk"],
+                "__sess_off": pa.array(sess_off, pa.int64()),
+                "__seq_off": pa.array(seq_off, pa.int64()),
+            }
+        )
+
+    adjust = summaries.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+    if offsets_via == "broadcast":
+        adj_tbl = pa.concat_tables(
+            [t for t in ray.get(adjust.to_arrow_refs()) if t.num_rows > 0]
+        )
+        joined = broadcast_join(
+            rows, adj_tbl, keys=[key, "__chunk"], join_type="inner"
+        )
+    else:
+        joined = hash_join(rows, adjust, on=(key, "__chunk"), num_partitions=4)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sess = pc.add(batch["__sess"], batch["__sess_off"])
+        in_first = pc.equal(batch["__sess"], 1)
+        seq = pc.add(
+            batch["__seq"],
+            pc.if_else(in_first, batch["__seq_off"], pa.scalar(0, pa.int64())),
+        )
+        out = batch.append_column("session_id", sess.cast(pa.int64()))
+        out = out.append_column("event_seq", seq.cast(pa.int64()))
+        return out.drop_columns(
+            ["__chunk", "__sess", "__seq", "__sess_off", "__seq_off"]
+        )
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key: str,

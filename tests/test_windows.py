@@ -109,3 +109,104 @@ def test_asof_join():
            windows.asof_join(left, right, key="user_id", ts_col="ts",
                              right_value_cols=["v"]).take_all()}
     assert out == {1: None, 2: 100, 3: 200, 4: None}
+
+
+def _events_table(rows):
+    import datetime
+
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "value_c": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _skewed_events(n=4000, hot_frac=0.9, seed=11):
+    """One key owns 90% of the rows, spanning many time chunks."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        uid = 1 if i < int(n * hot_frac) else 2 + (i % 5)
+        # seconds spread over ~ 12 chunk widths (chunk_seconds=3600)
+        secs = int(rng.randint(0, 12 * 3600))
+        rows.append((i, uid, secs, int(rng.randint(1, 100))))
+    # unique (user, ts): perturb collisions deterministically
+    seen = set()
+    out = []
+    for eid, uid, secs, v in rows:
+        while (uid, secs) in seen:
+            secs += 1
+        seen.add((uid, secs))
+        out.append((eid, uid, secs, v))
+    return _events_table(out)
+
+
+def test_running_aggregate_chunked_matches_plain():
+    t = _skewed_events()
+    ds = ray.data.from_arrow(t)
+    plain = {
+        r["event_id"]: r["running_sum"]
+        for r in windows.running_aggregate(
+            ds, key="user_id", ts_col="ts", value_col="value_c"
+        ).take_all()
+    }
+    for via in ("broadcast", "join"):
+        chunked = {
+            r["event_id"]: r["running_sum"]
+            for r in windows.running_aggregate_chunked(
+                ds, key="user_id", ts_col="ts", value_col="value_c",
+                chunk_seconds=3600.0, offsets_via=via,
+            ).take_all()
+        }
+        assert chunked == plain, via
+
+
+def test_sessionize_chunked_matches_plain_with_boundary_sessions():
+    # gap smaller than chunk width AND sessions crossing chunk borders:
+    # events every 300 s cross the 3600 s chunk boundary inside ONE
+    # session; separate bursts create multiple sessions per chunk.
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        base = 0 if uid == 1 else 50
+        for k in range(40):  # continuous session crossing ~3 chunks
+            rows.append((eid, uid, base + k * 300, 1)); eid += 1
+        for k in range(5):  # later burst, far gap
+            rows.append((eid, uid, base + 40 * 300 + 7200 + k * 10, 1)); eid += 1
+    t = _events_table(rows)
+    ds = ray.data.from_arrow(t)
+    plain = {
+        r["event_id"]: (r["session_id"], r["event_seq"])
+        for r in windows.sessionize(ds, gap_seconds=1800.0).take_all()
+    }
+    chunked = {
+        r["event_id"]: (r["session_id"], r["event_seq"])
+        for r in windows.sessionize_chunked(
+            ds, gap_seconds=1800.0, chunk_seconds=3600.0
+        ).take_all()
+    }
+    assert chunked == plain
+
+
+def test_sessionize_chunked_matches_plain_on_skewed_data():
+    t = _skewed_events(n=3000)
+    ds = ray.data.from_arrow(t)
+    plain = {
+        r["event_id"]: (r["session_id"], r["event_seq"])
+        for r in windows.sessionize(ds, gap_seconds=600.0).take_all()
+    }
+    chunked = {
+        r["event_id"]: (r["session_id"], r["event_seq"])
+        for r in windows.sessionize_chunked(
+            ds, gap_seconds=600.0, chunk_seconds=3600.0, offsets_via="join"
+        ).take_all()
+    }
+    assert chunked == plain
