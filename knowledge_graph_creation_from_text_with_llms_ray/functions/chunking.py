@@ -11,22 +11,68 @@ empty chunk ahead of it — the reference writes that empty ``chunk_1.txt``
 and downstream stages see it.
 
 Sentence splitting: the reference uses ``nltk.sent_tokenize`` (punkt).
-This engine's spec is a deterministic regex splitter (split after
-``. ! ?`` followed by whitespace) — equivalent on the synthetic corpora
-this engine is fixture-tested on, with no model download dependency.
+This engine's spec is a deterministic rule splitter: a ``. ! ?`` run
+followed by whitespace ends a sentence UNLESS the preceding token is a
+known abbreviation (``Dr.``, ``e.g.``, month names, …), a single-letter
+initial (``J. Smith``) or a dotted acronym (``U.S.``) — the punkt
+behaviors the round-1 review flagged as divergent on real prose.
+Decimals (``3.14``) never split because the period is not followed by
+whitespace.  No model download dependency; byte-stable.
 """
 
 from __future__ import annotations
 
 import re
 
-_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+_BOUNDARY_RE = re.compile(r"[.!?]+(\s+)")
+
+# punkt's most common English sentence-internal abbreviations (compared
+# lowercase, terminal punctuation stripped; multi-dot forms keep their
+# internal dots: "e.g." → base "e.g").
+_ABBREVS = frozenset(
+    """dr mr mrs ms prof sr jr st no vs etc fig al inc ltd co corp dept
+    est approx ca vol pp sec min max jan feb mar apr jun jul aug sep
+    sept oct nov dec mon tue wed thu fri sat sun e.g i.e cf u.s u.k
+    a.m p.m ph.d""".split()
+)
+
+_ACRONYM_RE = re.compile(r"(?:[A-Za-z]\.)+[A-Za-z]")
+
+
+def _splits_here(before: str, punct: str) -> bool:
+    """Decide whether the boundary candidate ending ``before`` (which
+    includes the punctuation run ``punct``) really ends a sentence."""
+    if punct != ".":
+        return True  # ! ? and runs like "?!" always split
+    parts = before.split()
+    if not parts:
+        return True
+    base = parts[-1].rstrip(".!?").lstrip("\"'([{")
+    lower = base.lower()
+    if lower in _ABBREVS:
+        return False
+    if len(base) == 1 and base.isupper():  # capital initial: "J. Smith"
+        return False
+    if _ACRONYM_RE.fullmatch(base):  # dotted acronym: "U.S."
+        return False
+    return True
 
 
 def split_sentences(text: str) -> list[str]:
     if not text or not text.strip():
         return []
-    return _SENTENCE_SPLIT_RE.split(text)
+    out: list[str] = []
+    start = 0
+    for m in _BOUNDARY_RE.finditer(text):
+        punct_end = m.start(1)
+        punct = text[m.start() : punct_end]
+        if not _splits_here(text[start:punct_end], punct):
+            continue
+        out.append(text[start:punct_end])
+        start = m.end()
+    if start < len(text):
+        out.append(text[start:])
+    return out
 
 
 def pack_chunks(sentences: list[str], chunk_size: int) -> list[str]:

@@ -44,3 +44,37 @@ def test_chunk_text_strips():
     out = chunk_text("A b. C d.", 6)
     assert out == ["A b.", "C d."]
     assert chunk_text("", 100) == []
+
+
+def test_split_sentences_punkt_parity_on_real_prose():
+    """The round-1 review's divergence cases (abbreviations, initials,
+    decimals, acronyms) against hand-derived punkt-convention splits."""
+    text = (
+        "Dr. Smith went to Washington. He arrived at 3.30 p.m. on Jan. 5 "
+        "with Prof. J. Jones. The U.S. economy grew 3.5 percent. "
+        "Results (e.g. tables) follow! Is that all? Yes."
+    )
+    assert split_sentences(text) == [
+        "Dr. Smith went to Washington.",
+        "He arrived at 3.30 p.m. on Jan. 5 with Prof. J. Jones.",
+        "The U.S. economy grew 3.5 percent.",
+        "Results (e.g. tables) follow!",
+        "Is that all?",
+        "Yes.",
+    ]
+
+
+def test_split_sentences_decimals_and_ellipsis():
+    assert split_sentences("Pi is 3.14159 exactly. Almost.") == [
+        "Pi is 3.14159 exactly.",
+        "Almost.",
+    ]
+    assert split_sentences("Wait... Done. Hm?!") == ["Wait...", "Done.", "Hm?!"]
+
+
+def test_split_sentences_abbreviation_never_splits():
+    # abbreviation followed by a capitalized word still does not split
+    assert split_sentences("See Fig. 3 and Dr. Brown. End.") == [
+        "See Fig. 3 and Dr. Brown.",
+        "End.",
+    ]
