@@ -28,24 +28,87 @@ _JAVA_IMPORT_RE = re.compile(r"(?m)^[ \t]*import[ \t]+(\w+(?:\.\w+)*)[ \t]*;")
 
 _WS_RE = re.compile(r"[ \t]+")
 
-_HTML_TABLE_RE = re.compile(r"<table\b.*?</table\s*>", re.S | re.I)
-_HTML_SUP_REF_RE = re.compile(
-    r"<sup\b[^>]*class=(?:\"[^\"]*reference[^\"]*\"|'[^']*reference[^']*')[^>]*>.*?</sup\s*>",
-    re.S | re.I,
-)
-_HTML_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.S | re.I)
-_HTML_TAG_RE = re.compile(r"<[^>]+>")
+class _ParagraphExtractor:
+    """Streaming HTML → paragraph texts on stdlib ``html.parser`` (a
+    real, error-tolerant HTML tokenizer — handles unclosed tags, nested
+    tables, implicit ``<p>`` closes and character entities, which the
+    round-1 review flagged as the regex parser's failure modes).
+
+    Mirrors the reference's BeautifulSoup pass (``Extractor.py:52-70``):
+    decompose every ``<table>`` subtree and every
+    ``<sup class="…reference…">`` subtree, then collect the text of
+    every ``<p>`` element."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                outer._start(tag, attrs)
+
+            def handle_endtag(self, tag):
+                outer._end(tag)
+
+            def handle_data(self, data):
+                outer._data(data)
+
+        self._parser = _P(convert_charrefs=True)
+        self.table_depth = 0
+        self.supref_depth = 0
+        self.in_p = False
+        self._sup_stack: list[bool] = []
+        self._cur: list[str] = []
+        self.paras: list[str] = []
+
+    def _flush(self) -> None:
+        if self.in_p:
+            text = "".join(self._cur).strip()
+            if text:
+                self.paras.append(text)
+        self._cur = []
+        self.in_p = False
+
+    def _start(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self.table_depth += 1
+        elif tag == "sup":
+            classes = dict(attrs).get("class") or ""
+            is_ref = "reference" in classes
+            self._sup_stack.append(is_ref)
+            if is_ref:
+                self.supref_depth += 1
+        elif tag == "p" and not self.table_depth:
+            self._flush()  # implicit close: <p> cannot nest (HTML spec)
+            self.in_p = True
+
+    def _end(self, tag: str) -> None:
+        if tag == "table":
+            self.table_depth = max(0, self.table_depth - 1)
+        elif tag == "sup":
+            if self._sup_stack and self._sup_stack.pop():
+                self.supref_depth = max(0, self.supref_depth - 1)
+        elif tag == "p":
+            self._flush()
+
+    def _data(self, data: str) -> None:
+        if self.in_p and not self.table_depth and not self.supref_depth:
+            self._cur.append(data)
+
+    def run(self, content: str) -> list[str]:
+        self._parser.feed(content)
+        self._parser.close()
+        self._flush()  # unclosed trailing <p>
+        return self.paras
 
 
 def html_to_text(content: str) -> str:
     """The reference's HTML cleaning + paragraph projection
     (``Extractor.py:52-70``: decompose all ``<table>`` and
-    ``<sup class="reference">``; ``:127``: join of ``<p>`` texts),
-    regex-based (no bs4 dependency) for well-formed markup."""
-    cleaned = _HTML_TABLE_RE.sub("", content)
-    cleaned = _HTML_SUP_REF_RE.sub("", cleaned)
-    paras = [_HTML_TAG_RE.sub("", p) for p in _HTML_P_RE.findall(cleaned)]
-    return " ".join(paras)
+    ``<sup class="reference">``; ``:127``: join of ``<p>`` texts) on a
+    tolerant stdlib HTML parse — robust to malformed markup."""
+    return " ".join(_ParagraphExtractor().run(content))
 
 
 def module_name_from_path(path: str) -> str:

@@ -60,3 +60,32 @@ def test_html_cleaning_matches_reference_semantics():
 
 def test_plain_text_passthrough_collapses_whitespace():
     assert content_to_text("a  b\nc\t d ", "text", "m") == "a b c d"
+
+
+def test_html_malformed_markup_tolerated():
+    """The failure modes of a regex-only parser: unclosed tags, nested
+    tables, implicit <p> closes, entities."""
+    html = (
+        "<html><body>"
+        "<p>First &amp; <b>bold</b> paragraph"      # unclosed <p>, entity
+        "<p>Second paragraph.</p>"                   # implicit close of first
+        "<table><tr><td>drop<table><tr><td>nested</td></tr></table></td></tr>"
+        "</table>"                                   # nested table, all dropped
+        "<p>Third<sup class='x reference y'>[1]</sup> paragraph.</p>"
+        "</body></html>"
+    )
+    assert html_to_text(html) == (
+        "First & bold paragraph Second paragraph. Third paragraph."
+    )
+
+
+def test_html_table_inside_paragraph_dropped():
+    html = "<p>keep <table><tr><td>drop me</td></tr></table> this</p>"
+    assert html_to_text(html) == "keep  this"
+
+
+def test_html_unclosed_table_suppresses_rest():
+    # bs4 parses an unclosed <table> as wrapping the remainder; the
+    # paragraph inside it is decomposed with the table
+    html = "<p>ok</p><table><tr><td><p>gone</p>"
+    assert html_to_text(html) == "ok"
