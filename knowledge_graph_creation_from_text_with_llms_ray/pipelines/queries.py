@@ -647,6 +647,39 @@ def q_rel_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value_c_asof"])
 
 
+def q_rel_asof_join_chunked(sf_dir: str):
+    """Same result as ``rel_asof_join`` through the time-chunked
+    carry-in implementation (bounded per-task state)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "value_c": _cents(b["value"]),
+            }
+        )
+
+    ev = events.map_batches(to_cents, batch_format="pyarrow")
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "value_c"]
+    )
+    out = windows.asof_join_chunked(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        right_value_cols=["value_c"],
+        chunk_seconds=7200.0,
+    )
+    return out.select_columns(["event_id", "user_id", "value_c_asof"])
+
+
 def q_rel_salted_agg(sf_dir: str):
     """Explicitly salted two-phase aggregation (hot-key protection):
     identical result to a plain GROUP BY, verified by the oracle."""
@@ -1149,6 +1182,7 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     # the chunked window implementations share their originals' oracles
     out["rel_sessionize_chunked"] = out["rel_sessionize"]
     out["rel_running_sum_chunked"] = out["rel_running_sum"]
+    out["rel_asof_join_chunked"] = out["rel_asof_join"]
     return out
 
 
@@ -1177,6 +1211,7 @@ def queries():
         "rel_sessionize": q_rel_sessionize,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,
         "rel_asof_join": q_rel_asof_join,
+        "rel_asof_join_chunked": q_rel_asof_join_chunked,
         "rel_salted_agg": q_rel_salted_agg,
         "rel_running_sum": q_rel_running_sum,
         "rel_running_sum_chunked": q_rel_running_sum_chunked,

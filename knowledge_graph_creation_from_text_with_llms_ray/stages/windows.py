@@ -367,6 +367,178 @@ def sessionize_chunked(
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def asof_join_chunked(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+    chunk_seconds: float = 86400.0,
+    offsets_via: str = "broadcast",
+) -> ray.data.Dataset:
+    """Skew-safe as-of join: identical result to ``asof_join`` with
+    bounded per-task state.  Both sides are tagged and grouped by
+    (key, time-chunk); each slice resolves its left rows against its
+    own right rows and emits one summary row carrying the slice's LAST
+    right values (or nulls).  A per-key forward-fill over the summaries
+    produces each slice's carry-in — the latest right values from all
+    earlier chunks — which resolves the left rows that had no in-chunk
+    prior right row (a ``__resolved`` flag, not null-ness, decides, so
+    genuinely-null right values carry through faithfully)."""
+    from .relational import broadcast_join, hash_join
+
+    chunk_us = int(chunk_seconds * 1_000_000)
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    out_vals = [(c, c + suffix, right_types[c]) for c in right_value_cols]
+    ordered = (
+        left_cols
+        + [o for _, o, _ in out_vals]
+        + ["__ts", "__chunk", "__side"]
+    )
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        for _, o, t in out_vals:
+            batch = batch.append_column(o, pa.nulls(batch.num_rows, t))
+        ts = batch[ts_col].cast(pa.int64())
+        batch = batch.append_column("__ts", ts)
+        batch = batch.append_column(
+            "__chunk", pc.divide(ts, chunk_us).cast(pa.int64())
+        )
+        batch = batch.append_column(
+            "__side", pa.array([0] * batch.num_rows, pa.int8())
+        )
+        return batch.select(ordered)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            cols[c] = batch[key] if c == key else pa.nulls(n, left_types[c])
+        for c, o, _t in out_vals:
+            cols[o] = batch[c]
+        ts = batch[ts_col].cast(pa.int64())
+        cols["__ts"] = ts
+        cols["__chunk"] = pc.divide(ts, chunk_us).cast(pa.int64())
+        cols["__side"] = pa.array([1] * n, pa.int8())
+        return pa.table({name: cols[name] for name in ordered})
+
+    l_tagged = left.map_batches(_tag_left, batch_format="pyarrow", batch_size=None)
+    r_tagged = right.select_columns(
+        list(dict.fromkeys([key, ts_col] + right_value_cols))
+    ).map_batches(_tag_right, batch_format="pyarrow", batch_size=None)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"])
+        ts = np.asarray(group["__ts"])
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        out = group.take(pa.array(l_idx)).select(
+            left_cols + ["__chunk"]
+        )
+        if len(r_idx) > 0:
+            r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
+            r_ts = ts[r_order]
+            pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
+            take_idx = pa.array(
+                [int(r_order[p]) if p >= 0 else None for p in pos], pa.int64()
+            )
+            resolved = pa.array([bool(p >= 0) for p in pos])
+            for _, o, _t in out_vals:
+                out = out.append_column(o, group[o].take(take_idx))
+        else:
+            take_idx = None
+            resolved = pa.array([False] * len(l_idx))
+            for _, o, t in out_vals:
+                out = out.append_column(o, pa.nulls(out.num_rows, t))
+        out = out.append_column("__resolved", resolved)
+        out = out.append_column("__is_summary", pa.array([False] * out.num_rows))
+        # summary row: this slice's LAST right values (nulls if none)
+        scols = {}
+        for name in out.column_names:
+            if name == key:
+                scols[name] = group[key].slice(0, 1)
+            elif name == "__chunk":
+                scols[name] = group["__chunk"].slice(0, 1)
+            elif name == "__is_summary":
+                scols[name] = pa.array([True])
+            elif name == "__resolved":
+                scols[name] = pa.array([len(r_idx) > 0])
+            else:
+                scols[name] = pa.nulls(1, out[name].type)
+        if len(r_idx) > 0:
+            last = int(r_idx[np.argsort(ts[r_idx], kind="stable")][-1])
+            for _, o, _t in out_vals:
+                scols[o] = group[o].slice(last, 1)
+        summary = pa.table({n: scols[n] for n in out.column_names}).cast(out.schema)
+        return pa.concat_tables([out, summary])
+
+    combined = (
+        l_tagged.union(r_tagged)
+        .groupby([key, "__chunk"])
+        .map_groups(_merge, batch_format="pyarrow")
+        .materialize()
+    )
+    rows = combined.filter(expr="__is_summary == False").drop_columns(
+        ["__is_summary"]
+    )
+    summaries = combined.filter(expr="__is_summary == True").select_columns(
+        [key, "__chunk", "__resolved"] + [o for _, o, _ in out_vals]
+    )
+
+    def _carry(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("__chunk", "ascending")])
+        g = group.take(order)
+        has = g["__resolved"].to_pylist()
+        carry_has: list[bool] = []
+        carry_take: list[int | None] = []
+        last: int | None = None
+        for i in range(g.num_rows):
+            carry_has.append(last is not None)
+            carry_take.append(last)
+            if has[i]:
+                last = i
+        cols = {
+            key: g[key],
+            "__chunk": g["__chunk"],
+            "__carry_has": pa.array(carry_has),
+        }
+        take_arr = pa.array(carry_take, pa.int64())
+        for _, o, _t in out_vals:
+            cols[f"__carry{o}"] = g[o].take(take_arr)
+        return pa.table(cols)
+
+    carries = summaries.groupby(key).map_groups(_carry, batch_format="pyarrow")
+
+    if offsets_via == "broadcast":
+        carry_tbl = pa.concat_tables(
+            [t for t in ray.get(carries.to_arrow_refs()) if t.num_rows > 0]
+        )
+        joined = broadcast_join(
+            rows, carry_tbl, keys=[key, "__chunk"], join_type="inner"
+        )
+    else:
+        joined = hash_join(rows, carries, on=(key, "__chunk"), num_partitions=4)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        resolved = batch["__resolved"]
+        for _, o, _t in out_vals:
+            merged = pc.if_else(resolved, batch[o], batch[f"__carry{o}"])
+            batch = batch.drop_columns([o]).append_column(o, merged)
+        drop = ["__chunk", "__resolved", "__carry_has"] + [
+            f"__carry{o}" for _, o, _t in out_vals
+        ]
+        return batch.drop_columns(drop).select(
+            left_cols + [o for _, o, _t in out_vals]
+        )
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key: str,

@@ -210,3 +210,34 @@ def test_sessionize_chunked_matches_plain_on_skewed_data():
         ).take_all()
     }
     assert chunked == plain
+
+
+def test_asof_join_chunked_matches_plain():
+    import numpy as np
+
+    t = _skewed_events(n=2500)
+    ds = ray.data.from_arrow(t)
+    # right side: every third event is a "click"
+    import pyarrow.compute as pc2
+
+    right = ds.map_batches(
+        lambda b: b.filter(pc2.equal(pc2.bit_wise_and(b["event_id"], 3), 0)),
+        batch_format="pyarrow",
+    ).select_columns(["user_id", "ts", "value_c"])
+    left = ds.select_columns(["event_id", "user_id", "ts"])
+    plain = {
+        r["event_id"]: r["value_c_asof"]
+        for r in windows.asof_join(
+            left, right, key="user_id", ts_col="ts", right_value_cols=["value_c"]
+        ).take_all()
+    }
+    for via in ("broadcast", "join"):
+        chunked = {
+            r["event_id"]: r["value_c_asof"]
+            for r in windows.asof_join_chunked(
+                left, right, key="user_id", ts_col="ts",
+                right_value_cols=["value_c"], chunk_seconds=3600.0,
+                offsets_via=via,
+            ).take_all()
+        }
+        assert chunked == plain, via
