@@ -731,7 +731,7 @@ def q_dedup_fingerprint(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.minhash_lsh_pairs(ds, threshold=0.4, concurrency=(1, 2))
+    return dedup.minhash_lsh_pairs(ds, threshold=0.4, concurrency=(1, 8))
 
 
 def q_dedup_simhash(sf_dir: str):

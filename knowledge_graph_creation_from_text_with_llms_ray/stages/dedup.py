@@ -170,11 +170,46 @@ def _bucket_candidates(group: pa.Table, id_col: str) -> pa.Table:
     )
 
 
+def _pair_reduce(
+    ds: ray.data.Dataset,
+    agg_specs: list[tuple[str, str]],
+    rename: dict[str, str] | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Reduce over (id_a, id_b) pair keys via the int32-bucket + Arrow
+    ``group_by`` path (Ray's native multi-key aggregator is the
+    measured bottleneck at high pair counts: 5s for 600k pairs vs <1s
+    bucketed).  A per-batch Arrow combine runs before the shuffle so a
+    pair surfacing in many buckets ships once per block."""
+    from .relational import bucketed_group_aggregate
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["id_a", "id_b"]).aggregate(agg_specs)
+
+    pre = ds.map_batches(_local, batch_format="pyarrow")
+    # after the local combine the columns are <col>_<fn>; the global
+    # merge re-aggregates them with the matching merge fn
+    merge_specs = []
+    merge_rename = {}
+    for col, fn in agg_specs:
+        local_name = f"{col}_{fn}"
+        mfn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
+        merge_specs.append((local_name, mfn))
+        target = (rename or {}).get(local_name, local_name)
+        merge_rename[f"{local_name}_{mfn}"] = target
+    return bucketed_group_aggregate(
+        pre,
+        keys=["id_a", "id_b"],
+        agg_specs=merge_specs,
+        rename=merge_rename,
+        num_buckets=num_buckets,
+    )
+
+
 def _distinct_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """A pair can surface from several bands/buckets → distinct on
     (id_a, id_b)."""
-    grouped = ds.groupby(["id_a", "id_b"]).count()
-    return grouped.drop_columns(["count()"])
+    return _pair_reduce(ds, [])
 
 
 def _attach_pair_column(
@@ -341,12 +376,8 @@ def simhash_pairs(
 
     banded = hashed.map_batches(_explode, batch_format="pyarrow")
     pairs = banded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
-    deduped = pairs.groupby(["id_a", "id_b"]).min("hamming")
-    return deduped.map_batches(
-        lambda b: b.rename_columns(
-            ["hamming" if c == "min(hamming)" else c for c in b.column_names]
-        ),
-        batch_format="pyarrow",
+    return _pair_reduce(
+        pairs, [("hamming", "min")], rename={"hamming_min": "hamming"}
     )
 
 
@@ -430,16 +461,15 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
         fn_kwargs={"id_col": id_col, "df_cap": df_cap},
     )
-    inter = pre_aggregated(
+    inter = _pair_reduce(
         per_gram.map_batches(
             lambda b: b.append_column(
                 "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
             ),
             batch_format="pyarrow",
         ),
-        keys=["id_a", "id_b"],
-        aggs={"inter": "one:sum"},
-        num_partitions=4,
+        [("one", "sum")],
+        rename={"one_sum": "inter"},
     )
     with_sizes = _attach_pair_column(
         inter, sizes, id_col, "n_grams", stepwise=stepwise
@@ -539,10 +569,6 @@ def embedding_near_dup_pairs(
 
     buckets = ds.map_batches(_bucket, batch_format="pyarrow")
     pairs = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    deduped = pairs.groupby(["id_a", "id_b"]).max("cosine")
-    return deduped.map_batches(
-        lambda b: b.rename_columns(
-            ["cosine" if c == "max(cosine)" else c for c in b.column_names]
-        ),
-        batch_format="pyarrow",
+    return _pair_reduce(
+        pairs, [("cosine", "max")], rename={"cosine_max": "cosine"}
     )

@@ -239,17 +239,20 @@ def bucketed_group_aggregate(
         # available wins.
         import numpy as np
 
-        if len(keys) == 1 and pa.types.is_integer(batch[keys[0]].type):
-            # splitmix64-style integer mix — pure numpy
-            x = (
-                batch[keys[0]]
-                .cast(pa.int64())
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
-            )
-            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-            x ^= x >> np.uint64(33)
-            buckets = pa.array((x % np.uint64(num_buckets)).astype(np.int32))
+        if all(pa.types.is_integer(batch[k].type) for k in keys):
+            # splitmix64-style integer mix per key, combined — pure numpy
+            acc = np.zeros(batch.num_rows, dtype=np.uint64)
+            for pos, k in enumerate(keys):
+                x = (
+                    batch[k]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+                x ^= x >> np.uint64(33)
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + x + np.uint64(pos)
+            buckets = pa.array((acc % np.uint64(num_buckets)).astype(np.int32))
         else:
             parts = [
                 pc.cast(batch[k], pa.string())
