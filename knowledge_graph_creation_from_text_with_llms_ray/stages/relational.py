@@ -266,6 +266,15 @@ def bucketed_group_aggregate(
                 else parts[0]
             )
             try:  # Rust-vectorized string hash
+                import os as _os
+
+                # one rayon thread per worker: the map task is already
+                # the parallelism unit — a full polars thread pool per
+                # worker oversubscribes the node (measured: 32 workers
+                # x 32 threads cost ~15% wall time on the 500k-doc run)
+                _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+                if _os.environ.get("KGRAY_BUCKET_HASH") == "crc32":
+                    raise ImportError  # explicit fallback escape hatch
                 import polars as pl
 
                 if isinstance(joined, pa.ChunkedArray):

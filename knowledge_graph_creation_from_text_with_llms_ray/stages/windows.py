@@ -3,11 +3,18 @@ per-group top-k.
 
 The reference has no streaming/window machinery (SURVEY.md §1.4) —
 these are the training-data-pipeline extensions an events table needs.
-All share one shape: ``groupby(key).map_groups`` with an in-group sort,
-so the shuffle moves each key's rows once and the window logic runs
-vectorized per group.  Partitioning assumption: one group fits in one
-task (true for per-user/per-session data; salt the key upstream if a
-single key's history outgrows a worker).
+
+Two implementations per operator:
+
+* plain (``sessionize`` / ``running_aggregate`` / ``asof_join``):
+  ``groupby(key).map_groups`` with an in-group sort — one shuffle,
+  vectorized window logic, assumes one key's history fits one task;
+* chunked (``*_chunked``): the scale-safe form — rows grouped by
+  (key, time-chunk) so per-task state is bounded regardless of key
+  skew, with exact boundary carryover (prefix offsets / session merge /
+  as-of carry-in) computed over tiny per-slice summaries.  Verified
+  equal to the plain forms on 90%-hot-key data and against the same
+  SQL oracles.
 """
 
 from __future__ import annotations
