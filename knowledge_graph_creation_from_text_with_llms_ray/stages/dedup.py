@@ -14,8 +14,9 @@ groupby finishes the reduction.
                            groupby → near-dup candidate pairs
 * ``simhash_pairs``      — 64-bit SimHash, banded buckets, exact
                            hamming verify
-* ``ngram_jaccard_pairs``— exact word-n-gram Jaccard verify over LSH
-                           candidate pairs
+* ``ngram_jaccard_pairs``— EXACT word-n-gram Jaccard pairs via
+                           shared-gram buckets + hash joins (perfect
+                           recall, no LSH estimate)
 * ``embedding_near_dup_pairs`` — random-hyperplane LSH buckets over an
                            embedding column, exact cosine verify
 """
@@ -152,12 +153,14 @@ def _band_explode(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
     )
 
 
-def _bucket_candidates(group: pa.Table, id_col: str) -> pa.Table:
+def _bucket_candidates(
+    group: pa.Table, id_col: str, max_bucket: int = MAX_BUCKET
+) -> pa.Table:
     """All (a < b) pairs within one band bucket, skew-capped at
-    MAX_BUCKET smallest ids (the overflow is flagged, not silent)."""
+    ``max_bucket`` smallest ids (the overflow is flagged, not silent)."""
     ids = sorted(group[id_col].to_pylist())
-    truncated = len(ids) > MAX_BUCKET
-    ids = ids[:MAX_BUCKET]
+    truncated = len(ids) > max_bucket
+    ids = ids[:max_bucket]
     n = len(ids)
     arr = np.asarray(ids)
     xi, yi = np.triu_indices(n, k=1)
@@ -256,6 +259,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     concurrency: int | tuple = (1, 4),
     stepwise: bool = True,
+    max_bucket: int = MAX_BUCKET,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → candidate pairs →
     signature joins → estimated Jaccard ≥ threshold.
@@ -277,7 +281,9 @@ def minhash_lsh_pairs(
         _band_explode, batch_format="pyarrow", fn_kwargs={"bands": bands, "id_col": id_col}
     )
     cand = banded.groupby("band_key").map_groups(
-        _bucket_candidates, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
+        _bucket_candidates,
+        batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "max_bucket": max_bucket},
     )
     pairs = _distinct_pairs(cand.drop_columns(["truncated"]))
     with_sigs = _attach_pair_column(

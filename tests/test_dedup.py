@@ -107,3 +107,18 @@ def test_embedding_near_dup_finds_planted_pair():
         for r in dedup.embedding_near_dup_pairs(ds, threshold=0.99, planes=4).take_all()
     }
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.99
+
+
+def test_bucket_truncation_caps_pairs_at_smallest_ids():
+    """Skew guard: a bucket larger than max_bucket contributes only its
+    max_bucket smallest ids to pair generation (flagged, not silent)."""
+    base = "identical content repeated for every doc " * 5
+    ds = _docs([(i, base) for i in range(20)])  # one giant bucket
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            ds, threshold=0.9, concurrency=1, max_bucket=8
+        ).take_all()
+    }
+    expected = {(a, b) for a in range(8) for b in range(a + 1, 8)}
+    assert pairs == expected
