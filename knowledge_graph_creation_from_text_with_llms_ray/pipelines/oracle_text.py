@@ -492,3 +492,23 @@ JOIN embeddings ea ON ea.vec_id = c.id_a
 JOIN embeddings eb ON eb.vec_id = c.id_b
 WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
 """
+
+
+def token_topk_sql(k: int = 20) -> str:
+    toks = TOKENS.format(col="text")
+    return f"""
+WITH t AS (
+  SELECT unnest({toks}) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}
+"""
+
+
+def sample_hash_sql(denom: int = 7) -> str:
+    le8 = md5_le_int("h", 8)
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+) WHERE {le8} % {denom} = 0
+"""

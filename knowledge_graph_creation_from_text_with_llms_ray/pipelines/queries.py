@@ -758,6 +758,26 @@ def q_dedup_embedding(sf_dir: str):
     )
 
 
+def q_dedup_fingerprint_slim(sf_dir: str):
+    """Same result as ``dedup_fingerprint`` through the bodies-free
+    shuffle (winner ids via combiner + bucketed min, rows recovered by
+    semi-join) — the 100-TB shuffle shape, same oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.fingerprint_dedup_slim(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_text_token_topk(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analysis.token_topk(ds, k=20)
+
+
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic id-hash 1/7 sample (layout- and run-independent,
+    unlike random_sample) — verified value-exact by the md5 oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return analysis.sample_by_hash(ds, denom=7).select_columns(["doc_id", "lang"])
+
+
 def q_text_stats(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return analysis.text_stats(ds).select_columns(
@@ -1183,6 +1203,9 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["rel_sessionize_chunked"] = out["rel_sessionize"]
     out["rel_running_sum_chunked"] = out["rel_running_sum"]
     out["rel_asof_join_chunked"] = out["rel_asof_join"]
+    out["dedup_fingerprint_slim"] = out["dedup_fingerprint"]
+    out["text_token_topk"] = oracle_text.token_topk_sql(k=20)
+    out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     return out
 
 
@@ -1220,6 +1243,9 @@ def queries():
         "rel_antijoin": q_rel_antijoin,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
+        "text_token_topk": q_text_token_topk,
+        "doc_sample_hash": q_doc_sample_hash,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,

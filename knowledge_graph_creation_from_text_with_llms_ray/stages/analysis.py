@@ -127,3 +127,54 @@ def embed_text(
         concurrency=concurrency,
         fn_constructor_kwargs={"model_name": model_name, "text_col": text_col},
     )
+
+
+def token_topk(
+    ds: ray.data.Dataset, text_col: str = "text", k: int = 20
+) -> ray.data.Dataset:
+    """Heavy hitters: global top-k tokens by count.  Per-batch Counter
+    combine (one row per distinct token per block), bucketed Arrow sum,
+    then the local-partials global top-k — the vocabulary never sits in
+    one task and the shuffle carries (token, partial_count) rows only.
+    Output: (token, n) with the (count desc, token asc) tie-break."""
+    from collections import Counter
+
+    from .relational import bucketed_group_aggregate, topk
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update((t or "").split())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(_counts, batch_format="pyarrow", batch_size=None)
+    counts = bucketed_group_aggregate(
+        partials,
+        keys=["token"],
+        agg_specs=[("partial", "sum")],
+        rename={"partial_sum": "n"},
+    )
+    return topk(counts, ["n", "token"], k=k, descending=[True, False])
+
+
+def sample_by_hash(
+    ds: ray.data.Dataset, id_col: str = "doc_id", denom: int = 7
+) -> ray.data.Dataset:
+    """Deterministic 1/denom sample: keep rows where
+    ``md5_le8(str(id)) % denom == 0``.  A pure function of the id —
+    independent of block layout, cluster size and run order (unlike
+    ``Dataset.random_sample``), so resumed/rerun pipelines sample the
+    SAME rows; uniform within every group automatically."""
+    from ..functions.hashing import hash64
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        mask = [hash64(str(i)) % denom == 0 for i in ids]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

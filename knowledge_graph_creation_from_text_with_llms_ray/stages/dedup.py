@@ -578,3 +578,37 @@ def embedding_near_dup_pairs(
     return _pair_reduce(
         pairs, [("cosine", "max")], rename={"cosine_max": "cosine"}
     )
+
+
+def fingerprint_dedup_slim(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """The 100-TB form of ``fingerprint_dedup``: the shuffle carries
+    ONLY (fingerprint, id) — document bodies never enter the exchange.
+    Winner ids (min id per fingerprint) come from a combiner + bucketed
+    Arrow min; the full rows are then recovered with a semi-join on the
+    winner-id set.  Identical output to ``fingerprint_dedup``.
+
+    The winner-id set is broadcast (8 bytes per surviving doc); swap the
+    semi-join for a hash join when even the survivors outgrow that."""
+    from .relational import broadcast_semi_join, bucketed_group_aggregate
+
+    with_fp = ds.map_batches(
+        _fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).materialize()  # consumed twice: winner reduction + row recovery
+    slim = with_fp.select_columns([id_col, "fingerprint"])
+
+    def _local_min(b: pa.Table) -> pa.Table:
+        return b.group_by(["fingerprint"]).aggregate([(id_col, "min")])
+
+    pre = slim.map_batches(_local_min, batch_format="pyarrow")
+    winners = bucketed_group_aggregate(
+        pre,
+        keys=["fingerprint"],
+        agg_specs=[(f"{id_col}_min", "min")],
+        rename={f"{id_col}_min_min": id_col},
+    )
+    winner_ids = pa.concat_tables(
+        [t for t in ray.get(winners.select_columns([id_col]).to_arrow_refs()) if t.num_rows]
+    )
+    return broadcast_semi_join(with_fp, winner_ids, keys=[id_col])

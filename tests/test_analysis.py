@@ -52,3 +52,43 @@ def test_fingerprints_are_deterministic_and_distinct():
     by_id = {r["doc_id"]: r for r in rows1}
     assert by_id[0]["sha256"] == by_id[1]["sha256"] != by_id[2]["sha256"]
     assert by_id[0]["rolling_fp"] == by_id[1]["rolling_fp"]
+
+
+def test_token_topk_counts_and_tiebreak():
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import analysis
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["b a a", "a c  b", "c b d"], pa.string()
+                ),
+            }
+        )
+    )
+    out = [(r["token"], r["n"]) for r in analysis.token_topk(ds, k=3).take_all()]
+    # a:3 b:3 c:2 d:1 → tie (a,b) broken by token asc
+    assert out == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_sample_by_hash_deterministic_across_layouts():
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import analysis
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "lang": pa.array(["en"] * 200, pa.string()),
+        }
+    )
+    ds1 = ray.data.from_arrow(t)
+    ds2 = ray.data.from_arrow(t).repartition(7)
+    s1 = sorted(r["doc_id"] for r in analysis.sample_by_hash(ds1, denom=5).take_all())
+    s2 = sorted(r["doc_id"] for r in analysis.sample_by_hash(ds2, denom=5).take_all())
+    assert s1 == s2 and 0 < len(s1) < 200

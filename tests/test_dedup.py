@@ -122,3 +122,20 @@ def test_bucket_truncation_caps_pairs_at_smallest_ids():
     }
     expected = {(a, b) for a in range(8) for b in range(a + 1, 8)}
     assert pairs == expected
+
+
+def test_fingerprint_dedup_slim_matches_plain():
+    rows = [(i, f"text number {i % 4}") for i in range(12)]
+    ds = _docs(rows)
+    plain = sorted(
+        (r["doc_id"], r["fingerprint"])
+        for r in dedup.fingerprint_dedup(ds).take_all()
+    )
+    slim = sorted(
+        (r["doc_id"], r["fingerprint"])
+        for r in dedup.fingerprint_dedup_slim(ds).take_all()
+    )
+    assert slim == plain
+    # slim path also recovers the full rows (text column intact)
+    full = dedup.fingerprint_dedup_slim(ds).take_all()
+    assert all("text" in r for r in full)
