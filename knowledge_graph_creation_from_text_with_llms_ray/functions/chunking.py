@@ -39,21 +39,28 @@ _ABBREVS = frozenset(
 _ACRONYM_RE = re.compile(r"(?:[A-Za-z]\.)+[A-Za-z]")
 
 
-def _splits_here(before: str, punct: str) -> bool:
-    """Decide whether the boundary candidate ending ``before`` (which
-    includes the punctuation run ``punct``) really ends a sentence."""
-    if punct != ".":
-        return True  # ! ? and runs like "?!" always split
-    parts = before.split()
-    if not parts:
+def _splits_here(text: str, start: int, punct_start: int) -> bool:
+    """Decide whether the boundary candidate (punctuation starting at
+    ``punct_start``, sentence starting at ``start``) really ends a
+    sentence.  Index-based: three C-level ``rfind`` calls recover the
+    preceding token without splitting the whole sentence (this runs
+    once per candidate on the hot chunking path)."""
+    ws = max(
+        text.rfind(" ", start, punct_start),
+        text.rfind("\n", start, punct_start),
+        text.rfind("\t", start, punct_start),
+        start - 1,
+    )
+    base = text[ws + 1 : punct_start]  # punctuation run excluded
+    if base[:1] in "\"'([{":
+        base = base.lstrip("\"'([{")
+    if not base:
         return True
-    base = parts[-1].rstrip(".!?").lstrip("\"'([{")
-    lower = base.lower()
-    if lower in _ABBREVS:
+    if base.lower() in _ABBREVS:
         return False
     if len(base) == 1 and base.isupper():  # capital initial: "J. Smith"
         return False
-    if _ACRONYM_RE.fullmatch(base):  # dotted acronym: "U.S."
+    if "." in base and _ACRONYM_RE.fullmatch(base):  # "U.S."
         return False
     return True
 
@@ -65,8 +72,10 @@ def split_sentences(text: str) -> list[str]:
     start = 0
     for m in _BOUNDARY_RE.finditer(text):
         punct_end = m.start(1)
-        punct = text[m.start() : punct_end]
-        if not _splits_here(text[start:punct_end], punct):
+        punct_start = m.start()
+        if text[punct_start:punct_end] == "." and not _splits_here(
+            text, start, punct_start
+        ):
             continue
         out.append(text[start:punct_end])
         start = m.end()
