@@ -158,10 +158,19 @@ def _bucket_candidates(
 ) -> pa.Table:
     """All (a < b) pairs within one band bucket, skew-capped at
     ``max_bucket`` smallest ids (the overflow is flagged, not silent)."""
+    id_type = group[id_col].type
     ids = sorted(group[id_col].to_pylist())
     truncated = len(ids) > max_bucket
     ids = ids[:max_bucket]
     n = len(ids)
+    if n < 2:  # typed empty — np.asarray([]) would infer float64
+        return pa.table(
+            {
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "truncated": pa.array([], pa.bool_()),
+            }
+        )
     arr = np.asarray(ids)
     xi, yi = np.triu_indices(n, k=1)
     return pa.table(
@@ -416,9 +425,14 @@ def _gram_pairs(group: pa.Table, id_col: str, df_cap: int | None) -> pa.Table:
     bound at extreme document frequencies — the capped grams are
     dropped entirely (not sampled) so intersection counts stay
     *consistent* between runs."""
+    id_type = group[id_col].type
     ids = sorted(group[id_col].to_pylist())
     if df_cap is not None and len(ids) > df_cap:
         ids = []
+    if len(ids) < 2:
+        return pa.table(
+            {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+        )
     arr = np.asarray(ids)
     xi, yi = np.triu_indices(len(ids), k=1)
     return pa.table({"id_a": pa.array(arr[xi]), "id_b": pa.array(arr[yi])})
@@ -608,7 +622,11 @@ def fingerprint_dedup_slim(
         agg_specs=[(f"{id_col}_min", "min")],
         rename={f"{id_col}_min_min": id_col},
     )
-    winner_ids = pa.concat_tables(
-        [t for t in ray.get(winners.select_columns([id_col]).to_arrow_refs()) if t.num_rows]
-    )
-    return broadcast_semi_join(with_fp, winner_ids, keys=[id_col])
+    tables = [
+        t
+        for t in ray.get(winners.select_columns([id_col]).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tables:  # empty input ⇒ every fp has a winner ⇒ no winners
+        return with_fp
+    return broadcast_semi_join(with_fp, pa.concat_tables(tables), keys=[id_col])

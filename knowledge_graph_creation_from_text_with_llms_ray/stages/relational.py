@@ -378,6 +378,11 @@ def hash_join(
     if stepwise:
         left = left.materialize()
         right = right.materialize()
+        # Ray's Join builds schema-less empty partition tables when an
+        # input has zero blocks and Acero then fails to find the key
+        # fields; an empty side has a known-empty join result anyway.
+        if left.count() == 0 or (join_type == "inner" and right.count() == 0):
+            return left.limit(0)
     return left.join(
         right,
         join_type=join_type,

@@ -218,11 +218,16 @@ def running_aggregate_chunked(
     offsets = totals.groupby(key).map_groups(_prefix, batch_format="pyarrow")
 
     if offsets_via == "broadcast":
-        off_tbl = pa.concat_tables(
-            [t for t in ray.get(offsets.to_arrow_refs()) if t.num_rows > 0]
-        )
+        off_parts = [t for t in ray.get(offsets.to_arrow_refs()) if t.num_rows > 0]
+        if not off_parts:  # empty input
+            return local.map_batches(
+                lambda b: b.append_column(
+                    out_col, pa.nulls(b.num_rows, pa.int64())
+                ).drop_columns(["__chunk", "__local"]),
+                batch_format="pyarrow",
+            )
         joined = broadcast_join(
-            local, off_tbl, keys=[key, "__chunk"], join_type="inner"
+            local, pa.concat_tables(off_parts), keys=[key, "__chunk"], join_type="inner"
         )
     else:
         joined = hash_join(
@@ -349,11 +354,13 @@ def sessionize_chunked(
     adjust = summaries.groupby(key).map_groups(_merge, batch_format="pyarrow")
 
     if offsets_via == "broadcast":
-        adj_tbl = pa.concat_tables(
-            [t for t in ray.get(adjust.to_arrow_refs()) if t.num_rows > 0]
-        )
+        adj_parts = [t for t in ray.get(adjust.to_arrow_refs()) if t.num_rows > 0]
+        if not adj_parts:  # empty input
+            return rows.drop_columns(["__chunk"]).rename_columns(
+                {"__sess": "session_id", "__seq": "event_seq"}
+            )
         joined = broadcast_join(
-            rows, adj_tbl, keys=[key, "__chunk"], join_type="inner"
+            rows, pa.concat_tables(adj_parts), keys=[key, "__chunk"], join_type="inner"
         )
     else:
         joined = hash_join(rows, adjust, on=(key, "__chunk"), num_partitions=4)
@@ -522,11 +529,14 @@ def asof_join_chunked(
     carries = summaries.groupby(key).map_groups(_carry, batch_format="pyarrow")
 
     if offsets_via == "broadcast":
-        carry_tbl = pa.concat_tables(
-            [t for t in ray.get(carries.to_arrow_refs()) if t.num_rows > 0]
-        )
+        carry_parts = [t for t in ray.get(carries.to_arrow_refs()) if t.num_rows > 0]
+        if not carry_parts:  # empty input
+            return rows.map_batches(
+                lambda b: b.select(left_cols + [o for _, o, _t in out_vals]),
+                batch_format="pyarrow",
+            )
         joined = broadcast_join(
-            rows, carry_tbl, keys=[key, "__chunk"], join_type="inner"
+            rows, pa.concat_tables(carry_parts), keys=[key, "__chunk"], join_type="inner"
         )
     else:
         joined = hash_join(rows, carries, on=(key, "__chunk"), num_partitions=4)

@@ -139,3 +139,20 @@ def test_fingerprint_dedup_slim_matches_plain():
     # slim path also recovers the full rows (text column intact)
     full = dedup.fingerprint_dedup_slim(ds).take_all()
     assert all("text" in r for r in full)
+
+
+def test_no_candidate_pairs_yields_empty_not_crash():
+    """Empty-join edge: datasets with zero near-dup candidates must
+    produce empty results (Ray's Join fails on schema-less empty
+    partitions; hash_join short-circuits them)."""
+    ds = _docs([(1, "a b c d"), (2, "x y z w")])
+    assert dedup.ngram_jaccard_pairs(ds, threshold=0.1, concurrency=1).take_all() == []
+    ds2 = _docs(
+        [(1, "completely different text one " * 5),
+         (2, "another unrelated thing entirely " * 5)]
+    )
+    assert dedup.minhash_lsh_pairs(ds2, threshold=0.9, concurrency=1).take_all() == []
+
+
+def test_fingerprint_dedup_slim_empty_input():
+    assert dedup.fingerprint_dedup_slim(_docs([])).take_all() == []
