@@ -50,21 +50,83 @@ def relaxed_match(generated: list[Triple], ground_truth: list[Triple]) -> dict:
     return _prf(tp, fp, fn)
 
 
+def _rouge_tokens(text: str) -> list[str]:
+    """rouge_score's default tokenization: lowercase, [a-z0-9]+ runs."""
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _f_measure(overlap: int, n_gen: int, n_gt: int) -> float:
+    if overlap == 0 or n_gen == 0 or n_gt == 0:
+        return 0.0
+    p, r = overlap / n_gen, overlap / n_gt
+    return 2 * p * r / (p + r)
+
+
+def _rouge_n(gen: list[str], gt: list[str], n: int) -> float:
+    from collections import Counter
+
+    g1 = Counter(tuple(gen[i : i + n]) for i in range(len(gen) - n + 1))
+    g2 = Counter(tuple(gt[i : i + n]) for i in range(len(gt) - n + 1))
+    overlap = sum(min(c, g2[k]) for k, c in g1.items())
+    return _f_measure(overlap, sum(g1.values()), sum(g2.values()))
+
+
+def _rouge_l(gen: list[str], gt: list[str]) -> float:
+    if not gen or not gt:
+        return 0.0
+    # O(len(gen)·len(gt)) LCS with a rolling row
+    prev = [0] * (len(gt) + 1)
+    for x in gen:
+        cur = [0]
+        for j, y in enumerate(gt, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[-1]))
+        prev = cur
+    return _f_measure(prev[-1], len(gen), len(gt))
+
+
+def _rouge_scores_pure(gen_text: str, gt_text: str) -> dict[str, float]:
+    g, t = _rouge_tokens(gen_text), _rouge_tokens(gt_text)
+    return {
+        "rouge1": _rouge_n(g, t, 1),
+        "rouge2": _rouge_n(g, t, 2),
+        "rougeL": _rouge_l(g, t),
+    }
+
+
 def rouge_match(generated: list[Triple], ground_truth: list[Triple]) -> dict:
     """E5 (``metrics_generator.py:159-183``): best-pair ROUGE-1/2/L per
-    generated triple.  Import-gated — ``rouge_score`` is not in this
-    environment; raises ImportError with the reference semantics
-    documented."""
-    from rouge_score import rouge_scorer  # noqa: F401  (import-gated)
+    generated triple, averaged.
 
-    scorer = rouge_scorer.RougeScorer(["rouge1", "rouge2", "rougeL"], use_stemmer=True)
+    Uses ``rouge_score`` (``use_stemmer=True``, the reference's
+    configuration) when the library is importable; otherwise a
+    pure-Python fallback with the same tokenizer and f-measures but NO
+    Porter stemming (documented divergence: inflected-word matches that
+    stemming would unify score lower; tokens ≤ 3 chars are unaffected
+    either way since rouge_score only stems longer tokens)."""
+    try:  # pragma: no cover - library absent in this environment
+        from rouge_score import rouge_scorer
+
+        scorer = rouge_scorer.RougeScorer(
+            ["rouge1", "rouge2", "rougeL"], use_stemmer=True
+        )
+        # the reference's exact call order (metrics_generator.py:168):
+        # score(<generated>, <ground truth>); all three f-measures are
+        # symmetric in the pair, so the fallback matches either way
+        score_pair = lambda a, b: {
+            k: v.fmeasure for k, v in scorer.score(a, b).items()
+        }
+    except ImportError:
+        score_pair = _rouge_scores_pure
+
     totals = {"rouge1": 0.0, "rouge2": 0.0, "rougeL": 0.0}
     for gen in generated:
         best = {k: 0.0 for k in totals}
         for gt in ground_truth:
-            scores = scorer.score(" ".join(gen), " ".join(gt))
+            scores = score_pair(" ".join(gen), " ".join(gt))
             for k in totals:
-                best[k] = max(best[k], scores[k].fmeasure)
+                best[k] = max(best[k], scores[k])
         for k in totals:
             totals[k] += best[k]
     n = len(generated) or 1

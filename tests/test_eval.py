@@ -40,3 +40,31 @@ def test_evaluate_ids_occurrence_counting():
     assert m["predicates"]["True Positives"] == 1
     assert m["objects"]["True Positives"] == 1
     assert m["objects"]["False Positives"] == 1
+
+
+def test_rouge_match_runs_without_library():
+    """E5: the pure-Python ROUGE fallback (no stemmer) executes in this
+    environment and returns exact values on hand-checked pairs."""
+    from knowledge_graph_creation_from_text_with_llms_ray.eval import rouge_match
+
+    # identical triples → all three metrics 1.0
+    out = rouge_match([("alpha", "beta", "gamma")], [("alpha", "beta", "gamma")])
+    assert out == {
+        "Average ROUGE-1": 1.0,
+        "Average ROUGE-2": 1.0,
+        "Average ROUGE-L": 1.0,
+    }
+    # "a b c" vs "a x c": unigram overlap 2/3 → F1 = 2/3; bigrams 0;
+    # LCS = 2 → F = 2/3
+    out = rouge_match([("a", "b", "c")], [("a", "x", "c")])
+    assert abs(out["Average ROUGE-1"] - 2 / 3) < 1e-12
+    assert out["Average ROUGE-2"] == 0.0
+    assert abs(out["Average ROUGE-L"] - 2 / 3) < 1e-12
+    # best-pair semantics: the better ground-truth match wins
+    out = rouge_match(
+        [("a", "b", "c")], [("q", "r", "s"), ("a", "b", "c")]
+    )
+    assert out["Average ROUGE-1"] == 1.0
+    # disjoint → 0
+    out = rouge_match([("a", "b", "c")], [("x", "y", "z")])
+    assert out["Average ROUGE-L"] == 0.0
