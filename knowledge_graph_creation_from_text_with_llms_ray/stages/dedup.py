@@ -142,6 +142,9 @@ def _band_explode(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
     out_ids, out_keys = [], []
     for i, sig in zip(ids, sigs):
         sig_arr = np.frombuffer(sig, dtype=np.uint32)
+        if not sig_arr.any():  # empty document (no shingles): a
+            continue  # zero signature matches only other empty docs —
+            # meaningless pairs; excluded (and the SQL oracle agrees)
         for key in lsh_band_keys(sig_arr, bands):
             out_ids.append(i)
             out_keys.append(key)

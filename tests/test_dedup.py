@@ -156,3 +156,11 @@ def test_no_candidate_pairs_yields_empty_not_crash():
 
 def test_fingerprint_dedup_slim_empty_input():
     assert dedup.fingerprint_dedup_slim(_docs([])).take_all() == []
+
+
+def test_minhash_empty_documents_never_pair():
+    """Empty docs have empty shingle sets (zero signatures); pairing
+    them as est=1.0 near-dups is meaningless — they are excluded from
+    banding (the SQL oracle has the same semantics)."""
+    ds = _docs([(1, ""), (2, ""), (3, "real content here " * 10)])
+    assert dedup.minhash_lsh_pairs(ds, threshold=0.1, concurrency=1).take_all() == []

@@ -1,0 +1,165 @@
+"""Property-based cross-engine parity: the DuckDB oracle SQL of
+``pipelines/oracle_text.py`` must agree with the Python kernels on
+ARBITRARY documents, not just the fixture corpus.
+
+These tests need no Ray — hypothesis generates small document tables,
+registered directly into DuckDB, and the oracle statements run against
+the pure-Python kernel computations.
+
+Scope note: the rolling fingerprint's byte==codepoint equivalence (and
+therefore its oracle) is specified for ASCII corpora — the strategies
+generate printable ASCII + whitespace accordingly, matching the
+engine's documented input guarantee.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from knowledge_graph_creation_from_text_with_llms_ray.functions.embedding import (
+    DIM,
+    _bucket,
+    _trigrams,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import (
+    hash64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    ngram_set,
+    rolling_fingerprint,
+    simhash64,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.functions.textstats import (
+    detect_language,
+)
+from knowledge_graph_creation_from_text_with_llms_ray.pipelines import oracle_text
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=120,
+)
+_TEXTS = st.lists(
+    st.one_of(_ASCII, st.sampled_from(["", "  ", "a b. C d!", "the of and to x"])),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _con(texts: list[str]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["xx"] * len(texts), pa.string()),
+        }
+    )
+    con.register("documents", tbl)
+    return con
+
+
+@settings(max_examples=20, deadline=None)
+@given(_TEXTS)
+def test_fingerprints_oracle_parity(texts):
+    con = _con(texts)
+    df = con.execute(oracle_text.text_fingerprints_sql()).fetchdf().set_index("doc_id")
+    for i, t in enumerate(texts):
+        row = df.loc[i]
+        assert row["simhash_hex"] == f"{simhash64(t):016x}", (t,)
+        assert row["rolling_fp"] == f"{rolling_fingerprint(t):016x}", (t,)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_TEXTS)
+def test_langid_oracle_parity(texts):
+    con = _con(texts)
+    df = con.execute(oracle_text.text_langid_sql()).fetchdf().set_index("doc_id")
+    for i, t in enumerate(texts):
+        lang, conf = detect_language(t)
+        row = df.loc[i]
+        assert (row["lang_pred"], row["lang_conf"]) == (lang, conf), (t,)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_TEXTS)
+def test_trigram_histogram_oracle_parity(texts):
+    con = _con(texts)
+    df = con.execute(oracle_text.text_embed_sql()).fetchdf().set_index("doc_id")
+    for i, t in enumerate(texts):
+        counts = np.zeros(DIM, dtype=np.int64)
+        for tri in _trigrams(t):
+            counts[_bucket(tri) % DIM] += 1
+        row = df.loc[i]
+        assert row["nnz"] == int((counts > 0).sum()), (t,)
+        assert row["argmax_bucket"] == int(np.argmax(counts)), (t,)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_TEXTS)
+def test_ngram_jaccard_oracle_parity(texts):
+    threshold = 0.3
+    con = _con(texts)
+    df = con.execute(oracle_text.dedup_ngram_sql(threshold=threshold)).fetchdf()
+    got = {(r.id_a, r.id_b): r.jaccard for r in df.itertuples()}
+    want = {}
+    gsets = {i: {hash64(g) for g in ngram_set(t, 3)} for i, t in enumerate(texts)}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(gsets[a] & gsets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(gsets[a]) + len(gsets[b]) - inter)
+            if j >= threshold:
+                want[(a, b)] = j
+    assert got == want, texts
+
+
+@settings(max_examples=10, deadline=None)
+@given(_TEXTS)
+def test_simhash_pairs_oracle_parity(texts):
+    con = _con(texts)
+    df = con.execute(oracle_text.dedup_simhash_sql(max_hamming=8)).fetchdf()
+    got = {(r.id_a, r.id_b): r.hamming for r in df.itertuples()}
+    sims = {i: simhash64(t) for i, t in enumerate(texts)}
+    buckets: dict = {}
+    for i in sorted(sims):
+        for b in range(4):
+            buckets.setdefault((b, (sims[i] >> (b * 16)) & 0xFFFF, ), []).append(i)
+    want = {}
+    for mem in buckets.values():
+        mem = sorted(mem)[:256]
+        for xi, x in enumerate(mem):
+            for y in mem[xi + 1 :]:
+                d = bin(sims[x] ^ sims[y]).count("1")
+                if d <= 8:
+                    want[(x, y)] = d
+    assert got == want, texts
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_ASCII, min_size=1, max_size=5))
+def test_minhash_oracle_parity(texts):
+    threshold = 0.4
+    con = _con(texts)
+    df = con.execute(oracle_text.dedup_minhash_sql(threshold=threshold)).fetchdf()
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in df.itertuples()}
+    sigs = {i: minhash_signature(t) for i, t in enumerate(texts)}
+    buckets: dict = {}
+    for i in sorted(sigs):
+        if not texts[i]:  # empty text → no shingles → no SQL rows
+            continue
+        for key in lsh_band_keys(sigs[i], 16):
+            buckets.setdefault(key, []).append(i)
+    want = {}
+    for mem in buckets.values():
+        mem = sorted(mem)[:256]
+        for xi, x in enumerate(mem):
+            for y in mem[xi + 1 :]:
+                est = float(np.mean(sigs[x] == sigs[y]))
+                if est >= threshold:
+                    want[(x, y)] = est
+    assert got == want, texts
