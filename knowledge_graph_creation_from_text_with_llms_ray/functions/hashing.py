@@ -38,11 +38,50 @@ def sha256_rollup(hex_digests) -> str:
     return f"{acc:032x}:{n}"
 
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
-    """k-char shingle set, hashed to 32-bit ints (zlib-free, stable)."""
-    if len(text) < k:
-        return {hash32(text)} if text else set()
-    return {hash32(text[i : i + k]) for i in range(len(text) - k + 1)}
+_SHINGLE_B = 257
+_SHINGLE_M = np.uint64(0xFFFFFFFF)
+_MIX_C = np.uint64(0x45D9F3B)  # lowbias32 constant (26 bits)
+
+
+def _mix32(x: np.ndarray) -> np.ndarray:
+    """lowbias32-style finalizer over uint64-held 32-bit values.
+
+    The windowed polynomial values are highly structured (overlapping
+    windows, smooth coefficient sums) and MinHash's affine permutations
+    are only pairwise independent — without a strong finalizer the
+    Jaccard estimator is badly biased (measured 0.33 vs a true 0.69).
+    Constants are ≤ 26 bits so every product stays below 2^58: exact in
+    uint64 AND in the SQL oracle's BIGINT arithmetic."""
+    x = (x ^ (x >> np.uint64(16))) * _MIX_C & _SHINGLE_M
+    x = (x ^ (x >> np.uint64(16))) * _MIX_C & _SHINGLE_M
+    return x ^ (x >> np.uint64(16))
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-char shingle hashes as uint64[n] (each < 2^32).
+
+    Hash = windowed polynomial over Unicode code points,
+    ``sum(code[i+j] * 257^(k-1-j)) mod 2^32`` (one vectorized pass —
+    code points from a single ``encode("utf-32-le")``, k shifted adds,
+    max value 0x10FFFF·257^4·5 < 2^53 so no intermediate mods), then
+    the ``_mix32`` finalizer.  Replicated bit-for-bit by the SQL oracle
+    with the same integer constants.  Texts shorter than ``k`` hash as
+    a single whole-text shingle; empty text has no shingles."""
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    if len(codes) < k:
+        h = 0
+        for c in codes.tolist():
+            h = h * _SHINGLE_B + c
+        return _mix32(np.asarray([h & 0xFFFFFFFF], dtype=np.uint64))
+    n = len(codes) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(_SHINGLE_B) + codes[j : n + j]
+    return np.unique(_mix32(acc & _SHINGLE_M))
 
 
 def hash32(s: str) -> int:
@@ -73,10 +112,9 @@ def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
     if num_perm not in _MINHASH_CACHE:
         _MINHASH_CACHE[num_perm] = _minhash_params(num_perm)
     a, b = _MINHASH_CACHE[num_perm]
-    sh = char_shingles(text, k)
-    if not sh:
+    x = char_shingles(text, k)
+    if len(x) == 0:
         return np.zeros(num_perm, dtype=np.uint32)
-    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
     # (a*x + b) mod p, min over shingles, folded to 32 bits
     vals = (a[None, :] * x[:, None] + b[None, :]) % np.uint64(_MERSENNE)
     return (vals.min(axis=0) & _MINHASH_MAX).astype(np.uint32)

@@ -332,20 +332,31 @@ def dedup_minhash_sql(
     max_bucket: int = 256,
 ) -> str:
     rows_per_band = num_perm // bands
-    le4 = md5_le_int("h", 4)
+    # windowed polynomial shingle hash + lowbias32 finalizer (matches
+    # hashing.char_shingles bit-for-bit): fold code points with base
+    # 257 mod 2^32, then two xor-shift-16 / *0x45d9f3b rounds and a
+    # final xor-shift — every product <= 2^58 (exact BIGINT)
+    poly = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(g, '(?s).'), "
+        "c -> CAST(unicode(c) AS BIGINT))), "
+        "(h, c) -> h * 257 + c) % 4294967296)"
+    )
     return f"""
-WITH shingles AS (
-  SELECT DISTINCT doc_id, g FROM (
-    SELECT doc_id, unnest(
-      CASE WHEN length(text) = 0 THEN []
-           WHEN length(text) < {shingle_k} THEN [text]
-           ELSE list_transform(range(1, length(text) - {shingle_k - 2}),
-                               i -> substr(text, i, {shingle_k}))
-      END) AS g
-    FROM documents)
+WITH sh_g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(text) = 0 THEN []
+         WHEN length(text) < {shingle_k} THEN [text]
+         ELSE list_transform(range(1, length(text) - {shingle_k - 2}),
+                             i -> substr(text, i, {shingle_k}))
+    END) AS g
+  FROM documents
 ),
+sh_p AS (SELECT doc_id, {poly} AS p FROM sh_g),
+sh_m1 AS (SELECT doc_id, (xor(p, p // 65536) * 73244475) % 4294967296 AS m FROM sh_p),
+sh_m2 AS (SELECT doc_id, (xor(m, m // 65536) * 73244475) % 4294967296 AS m FROM sh_m1),
 shv AS (
-  SELECT doc_id, {le4} AS x FROM (SELECT doc_id, md5(g) AS h FROM shingles)
+  SELECT DISTINCT doc_id, CAST(xor(m, m // 65536) AS BIGINT) AS x FROM sh_m2
 ),
 perms(j, a, b) AS (VALUES {_minhash_perm_values(num_perm)}),
 lanes AS (
