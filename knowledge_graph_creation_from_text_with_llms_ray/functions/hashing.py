@@ -134,21 +134,35 @@ def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
     return keys
 
 
+# Token-hash memo: md5 keeps the SQL oracle unchanged; real corpora
+# have Zipfian vocabularies so the cache hit rate is high.  Bounded to
+# keep long-lived workers from growing without limit.
+_H64_CACHE: dict[str, int] = {}
+_H64_CACHE_MAX = 1 << 20
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens."""
+    """64-bit SimHash over whitespace tokens (md5 token hash, ±1 per
+    bit over ALL token occurrences, bit set where the sum is positive).
+    Token hashes are memoized; the bit accumulation is one vectorized
+    numpy pass per document instead of per token."""
     tokens = text.split()
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    cache = _H64_CACHE
+    if len(cache) > _H64_CACHE_MAX:  # pragma: no cover - bound guard
+        cache.clear()
+    hs = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = cache.get(tok)
+        if h is None:
+            h = hash64(tok)
+            cache[tok] = h
+        hs[i] = h
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in tokens:
-        bits = (np.uint64(hash64(tok)) >> shifts) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
 
 def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
