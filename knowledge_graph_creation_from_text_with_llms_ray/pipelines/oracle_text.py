@@ -517,9 +517,16 @@ SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}
 
 
 def sample_hash_sql(denom: int = 7) -> str:
-    le8 = md5_le_int("h", 8)
+    """mix32((id & 0xFFFFFFFF) ^ (id >> 32)) % denom == 0 — the exact
+    integer fast path of ``analysis.sample_by_hash`` (lowbias32 rounds,
+    all products < 2^58 so BIGINT arithmetic is exact)."""
     return f"""
 SELECT doc_id, lang FROM (
-  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-) WHERE {le8} % {denom} = 0
+  SELECT doc_id, lang, xor(m2, m2 // 65536) AS h FROM (
+    SELECT doc_id, lang, (xor(m1, m1 // 65536) * 73244475) % 4294967296 AS m2 FROM (
+      SELECT doc_id, lang, (xor(p0, p0 // 65536) * 73244475) % 4294967296 AS m1 FROM (
+        SELECT doc_id, lang,
+               xor(doc_id % 4294967296, doc_id // 4294967296) AS p0
+        FROM documents))))
+WHERE h % {denom} = 0
 """

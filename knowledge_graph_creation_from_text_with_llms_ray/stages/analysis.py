@@ -166,15 +166,34 @@ def sample_by_hash(
     ds: ray.data.Dataset, id_col: str = "doc_id", denom: int = 7
 ) -> ray.data.Dataset:
     """Deterministic 1/denom sample: keep rows where
-    ``md5_le8(str(id)) % denom == 0``.  A pure function of the id —
-    independent of block layout, cluster size and run order (unlike
-    ``Dataset.random_sample``), so resumed/rerun pipelines sample the
-    SAME rows; uniform within every group automatically."""
-    from ..functions.hashing import hash64
+    ``mix32(id_lo32 ^ id_hi32) % denom == 0``.  A pure function of the
+    id — independent of block layout, cluster size and run order
+    (unlike ``Dataset.random_sample``), so resumed/rerun pipelines
+    sample the SAME rows; uniform within every group automatically.
+
+    Integer ids take a fully-vectorized numpy path (the lowbias32 mix
+    shared with the shingle hash — all products < 2^58, so the SQL
+    oracle replicates it in plain BIGINT arithmetic); other id types
+    fall back to md5 of the string form."""
+    import numpy as np
+
+    from ..functions.hashing import _mix32, hash64
 
     def _keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        mask = [hash64(str(i)) % denom == 0 for i in ids]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        col = batch[id_col]
+        if pa.types.is_integer(col.type):
+            x = (
+                col.cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+            mask = pa.array(h % np.uint64(denom) == 0)
+        else:
+            mask = pa.array(
+                [hash64(str(i)) % denom == 0 for i in col.to_pylist()],
+                pa.bool_(),
+            )
+        return batch.filter(mask)
 
     return ds.map_batches(_keep, batch_format="pyarrow")

@@ -163,3 +163,25 @@ def test_minhash_oracle_parity(texts):
                 if est >= threshold:
                     want[(x, y)] = est
     assert got == want, texts
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30, unique=True))
+def test_sample_hash_oracle_parity(ids):
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import _mix32
+
+    con = duckdb.connect()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(["xx"] * len(ids), pa.string()),
+        }
+    )
+    con.register("documents", tbl)
+    got = set(
+        con.execute(oracle_text.sample_hash_sql(denom=3)).fetchdf()["doc_id"]
+    )
+    x = np.asarray(ids, dtype=np.uint64)
+    h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+    want = set(np.asarray(ids)[h % np.uint64(3) == 0].tolist())
+    assert got == want, ids
