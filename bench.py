@@ -54,6 +54,10 @@ def run_headline() -> dict:
     from knowledge_graph_creation_from_text_with_llms_ray.pipelines import queries as q
 
     qs = q.queries()
+    # Warmup (same methodology as the scaling legs): spin worker
+    # processes / object store on one cheap query so the timed loop
+    # measures steady-state pipeline cost, not session start-up.
+    _consume(qs["text_stats"](SF_DIR))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_all = time.time()

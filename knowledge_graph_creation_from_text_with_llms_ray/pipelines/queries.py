@@ -710,6 +710,27 @@ def q_rel_salted_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_rel_quantiles(sf_dir: str):
+    """Exact per-group quantiles of the cents-scaled quantity via the
+    value-count histogram shape (shuffle volume = value cardinality,
+    not row count)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": b["l_returnflag"], "qty_c": _cents(b["l_quantity"])}
+        )
+
+    return relational.grouped_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        value_col="qty_c",
+        quantiles=[0.25, 0.5, 0.75, 0.95],
+    )
+
+
 def q_rel_distinct_segments(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return relational.distinct(ds, ["c_mktsegment"])
@@ -1088,6 +1109,22 @@ SELECT event_type,
   count(*) AS n_events
 FROM events GROUP BY event_type""",
         "rel_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "rel_quantiles": """
+WITH c AS (
+  SELECT l_returnflag, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (
+  SELECT l_returnflag, v,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         sum(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM c
+),
+qq(q) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+SELECT l_returnflag, q, min(v) AS value
+FROM t JOIN qq ON t.cum >= ceil(qq.q * t.tot)
+GROUP BY 1, 2""",
         "rel_salted_agg": """
 SELECT l_partkey, count(*) AS n_items,
   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
@@ -1231,6 +1268,7 @@ def queries():
         "rel_window_events": q_rel_window_events,
         "rel_props_extract": q_rel_props_extract,
         "rel_distinct_segments": q_rel_distinct_segments,
+        "rel_quantiles": q_rel_quantiles,
         "rel_sessionize": q_rel_sessionize,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,
         "rel_asof_join": q_rel_asof_join,

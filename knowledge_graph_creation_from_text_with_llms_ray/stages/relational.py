@@ -405,3 +405,57 @@ def distinct(
     local = ds.map_batches(_local, batch_format="pyarrow")
     grouped = local.groupby(keys, num_partitions=num_partitions).count()
     return grouped.drop_columns(["count()"])
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    out_col: str = "value",
+) -> ray.data.Dataset:
+    """EXACT distributed quantiles for discrete/bounded-cardinality
+    numeric columns (cents-scaled money, token counts, …): a combiner
+    value-count aggregation shrinks the data to one row per
+    (key, distinct value) — the only shuffle — then each key's tiny
+    histogram is scanned for the smallest value whose cumulative count
+    reaches ``ceil(q·total)``.
+
+    This is the quantile shape that scales: the shuffle volume is the
+    value cardinality, never the row count (for continuous doubles use
+    a t-digest sketch instead; not needed for the integer-scaled
+    columns this engine standardizes on).
+    Output: (keys…, q, ``out_col``)."""
+    import math
+
+    counts = pre_aggregated(
+        ds.select_columns(keys + [value_col]),
+        keys=keys + [value_col],
+        aggs={"__n": f"{value_col}:count"},
+        num_partitions=4,
+    )
+
+    def _pick(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(value_col, "ascending")])
+        g = group.take(order)
+        import numpy as np
+
+        ns = np.asarray(g["__n"], dtype=np.int64)
+        cum = np.cumsum(ns)
+        total = int(cum[-1])
+        vals = g[value_col]
+        out_cols: dict = {k: [] for k in keys}
+        qs_out, v_out = [], []
+        for q in quantiles:
+            rank = max(1, math.ceil(q * total))
+            idx = int(np.searchsorted(cum, rank))
+            for k in keys:
+                out_cols[k].append(g[k][0].as_py())
+            qs_out.append(q)
+            v_out.append(vals[idx].as_py())
+        tbl = {k: pa.array(out_cols[k], g[k].type) for k in keys}
+        tbl["q"] = pa.array(qs_out, pa.float64())
+        tbl[out_col] = pa.array(v_out, vals.type)
+        return pa.table(tbl)
+
+    return counts.groupby(keys).map_groups(_pick, batch_format="pyarrow")

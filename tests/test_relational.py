@@ -108,3 +108,31 @@ def test_salted_rejects_non_associative():
 
     with pytest.raises(ValueError):
         relational.salted_group_aggregate(ds, ["k"], [("v", "mean")])
+
+
+def test_grouped_quantiles_matches_bruteforce():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+    rng = np.random.RandomState(5)
+    keys = rng.choice(["a", "b"], size=2000)
+    vals = rng.randint(0, 40, size=2000)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    )
+    out = {
+        (r["k"], r["q"]): r["value"]
+        for r in relational.grouped_quantiles(
+            ds, keys=["k"], value_col="v", quantiles=[0.1, 0.5, 0.9]
+        ).take_all()
+    }
+    for k in ("a", "b"):
+        sub = np.sort(vals[keys == k])
+        for q in (0.1, 0.5, 0.9):
+            rank = max(1, math.ceil(q * len(sub)))
+            assert out[(k, q)] == sub[rank - 1], (k, q)
