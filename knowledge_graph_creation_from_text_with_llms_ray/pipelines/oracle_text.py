@@ -530,3 +530,55 @@ SELECT doc_id, lang FROM (
         FROM documents))))
 WHERE h % {denom} = 0
 """
+
+
+def _splitmix64_ctes(src: str, x_expr: str) -> str:
+    """CTE chain computing splitmix64 of ``x_expr`` (a non-negative
+    BIGINT) in HUGEINT arithmetic.  Wraparound 64-bit multiplies are
+    decomposed into 32-bit limbs so no intermediate exceeds 2^97
+    (HUGEINT holds 2^127-1; a naive 64x64 product would overflow).
+    Exposes ``smx(doc_key, h)``."""
+    M64 = 18446744073709551616
+    M32 = 4294967296
+
+    def mulmod(c: int, v: str) -> str:
+        return (
+            f"(CAST({c} AS HUGEINT) * ({v} % {M32}) + "
+            f"((CAST({c} AS HUGEINT) * ({v} // {M32})) % {M32}) * {M32}) % {M64}"
+        )
+
+    return f"""
+smx0 AS (
+  SELECT doc_key,
+         (CAST({x_expr} AS HUGEINT) + 11400714819323198485) % {M64} AS x
+  FROM {src}
+),
+smx1 AS (SELECT doc_key, xor(x, x // 1073741824) AS x FROM smx0),
+smx2 AS (SELECT doc_key, {mulmod(13787848793156543929, "x")} AS x FROM smx1),
+smx3 AS (SELECT doc_key, xor(x, x // 134217728) AS x FROM smx2),
+smx4 AS (SELECT doc_key, {mulmod(10723151780598845931, "x")} AS x FROM smx3),
+smx AS (SELECT doc_key, xor(x, x // 2147483648) AS h FROM smx4)
+"""
+
+
+def hll_registers_sql(
+    table: str = "orders", col: str = "o_custkey", p: int = 12
+) -> str:
+    """Oracle for ``relational.approx_distinct_registers``: the exact
+    HLL register set from splitmix64 hashes — bucket = top p bits,
+    rho = leading-zero count of the remaining 64-p bits + 1 (bit length
+    via ``printf('%b')`` string length, exact for any integer)."""
+    w_bits = 64 - p
+    w_mod = 1 << w_bits
+    return f"""
+WITH vals AS (SELECT DISTINCT {col} AS doc_key FROM {table}),
+{_splitmix64_ctes("vals", "doc_key").strip().lstrip()},
+reg AS (
+  SELECT CAST(h // {w_mod} AS BIGINT) AS bucket,
+         CASE WHEN h % {w_mod} = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(printf('%b', CAST(h % {w_mod} AS BIGINT)))
+         END AS rho
+  FROM smx
+)
+SELECT bucket, CAST(max(rho) AS BIGINT) AS register FROM reg GROUP BY bucket
+"""

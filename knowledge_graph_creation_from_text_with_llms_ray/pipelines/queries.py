@@ -731,6 +731,16 @@ def q_rel_quantiles(sf_dir: str):
     )
 
 
+def q_rel_hll_custkey(sf_dir: str):
+    """HyperLogLog register set for distinct o_custkey — the sketch
+    reporting path for distinct counts at 100 TB (O(2^p × blocks)
+    shuffle, skew-immune max-merge).  The register set is integer-exact
+    and deterministic, so it value-hash-matches the SQL oracle; the
+    float estimate derived from it is test-gated (σ ≈ 1.6 %)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return relational.approx_distinct_registers(ds, "o_custkey")
+
+
 def q_rel_distinct_segments(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return relational.distinct(ds, ["c_mktsegment"])
@@ -1243,6 +1253,9 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["dedup_fingerprint_slim"] = out["dedup_fingerprint"]
     out["text_token_topk"] = oracle_text.token_topk_sql(k=20)
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
+    out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
+        table="orders", col="o_custkey", p=12
+    )
     return out
 
 
@@ -1269,6 +1282,7 @@ def queries():
         "rel_props_extract": q_rel_props_extract,
         "rel_distinct_segments": q_rel_distinct_segments,
         "rel_quantiles": q_rel_quantiles,
+        "rel_hll_custkey": q_rel_hll_custkey,
         "rel_sessionize": q_rel_sessionize,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,
         "rel_asof_join": q_rel_asof_join,

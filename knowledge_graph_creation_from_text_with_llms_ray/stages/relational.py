@@ -459,3 +459,40 @@ def grouped_quantiles(
         return pa.table(tbl)
 
     return counts.groupby(keys).map_groups(_pick, batch_format="pyarrow")
+
+
+def approx_distinct_registers(
+    ds: ray.data.Dataset, col: str, p: int | None = None
+) -> ray.data.Dataset:
+    """HyperLogLog register set for the distinct count of an integer
+    column: every block reduces to ≤ 2^p (bucket, rho) partials that
+    merge with ``max`` — associative and skew-immune; total shuffle
+    volume is O(2^p × blocks) regardless of row count.  Output:
+    (bucket, register), integer-exact and deterministic (splitmix64,
+    no seed), so the SQL oracle verifies the full register set; the
+    float estimate is ``functions.sketch.hll_estimate`` (test-gated,
+    σ ≈ 1.6 % at the default p=12)."""
+    import numpy as np
+
+    from ..functions.sketch import HLL_P, hll_partial
+
+    p = HLL_P if p is None else p
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vals = (
+            batch[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        if len(vals) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        b, r = hll_partial(vals, p)
+        return pa.table({"bucket": pa.array(b), "rho": pa.array(r)})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    return pre_aggregated(
+        partials,
+        keys=["bucket"],
+        aggs={"register": "rho:max"},
+        num_partitions=2,
+    )

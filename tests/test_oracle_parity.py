@@ -185,3 +185,19 @@ def test_sample_hash_oracle_parity(ids):
     h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
     want = set(np.asarray(ids)[h % np.uint64(3) == 0].tolist())
     assert got == want, ids
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=40, unique=True))
+def test_hll_registers_oracle_parity(ids):
+    import numpy as np
+
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.sketch import hll_partial
+
+    con = duckdb.connect()
+    con.register("orders", pa.table({"o_custkey": pa.array(ids, pa.int64())}))
+    df = con.execute(oracle_text.hll_registers_sql()).fetchdf()
+    got = sorted(zip(df["bucket"], df["register"]))
+    b, r = hll_partial(np.asarray(ids, dtype=np.int64))
+    want = sorted(zip(b.tolist(), r.tolist()))
+    assert got == want, ids

@@ -136,3 +136,47 @@ def test_grouped_quantiles_matches_bruteforce():
         for q in (0.1, 0.5, 0.9):
             rank = max(1, math.ceil(q * len(sub)))
             assert out[(k, q)] == sub[rank - 1], (k, q)
+
+
+def test_hll_estimate_accuracy():
+    """The sketch's estimate must track the exact distinct count within
+    a few sigma (sigma ~ 1.6% at p=12); checked at several scales."""
+    import numpy as np
+
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.sketch import (
+        hll_estimate,
+        hll_partial,
+    )
+
+    rng = np.random.RandomState(3)
+    for true_n in (100, 5000, 200_000):
+        vals = rng.randint(0, 2**62, size=true_n).astype(np.int64)
+        vals = np.unique(vals)  # exact distinct set
+        rows = np.repeat(vals, 2)  # duplicates must not matter
+        b, r = hll_partial(rows)
+        est = hll_estimate(b, r)
+        assert abs(est - len(vals)) / len(vals) < 0.08, (true_n, est)
+
+
+def test_hll_registers_merge_and_layout_invariance():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+    vals = np.arange(10_000, dtype=np.int64) * 7919
+    t = pa.table({"x": pa.array(vals)})
+    a = sorted(
+        (r["bucket"], r["register"])
+        for r in relational.approx_distinct_registers(
+            ray.data.from_arrow(t), "x"
+        ).take_all()
+    )
+    b = sorted(
+        (r["bucket"], r["register"])
+        for r in relational.approx_distinct_registers(
+            ray.data.from_arrow(t).repartition(13), "x"
+        ).take_all()
+    )
+    assert a == b and len(a) > 0
