@@ -516,19 +516,37 @@ SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}
 """
 
 
+def mix32_subquery(id_expr: str, carry_cols: list[str], src: str) -> str:
+    """Layered subquery computing ``h = mix32(id_lo32 ^ id_hi32)`` of
+    ``id_expr`` (lowbias32 rounds; every product < 2^58 → exact BIGINT)
+    while carrying ``carry_cols`` through."""
+    cols = ", ".join(carry_cols)
+    return f"""(
+  SELECT {cols}, xor(m2, m2 // 65536) AS h FROM (
+    SELECT {cols}, (xor(m1, m1 // 65536) * 73244475) % 4294967296 AS m2 FROM (
+      SELECT {cols}, (xor(p0, p0 // 65536) * 73244475) % 4294967296 AS m1 FROM (
+        SELECT {cols},
+               xor({id_expr} % 4294967296, {id_expr} // 4294967296) AS p0
+        FROM {src}))))"""
+
+
 def sample_hash_sql(denom: int = 7) -> str:
     """mix32((id & 0xFFFFFFFF) ^ (id >> 32)) % denom == 0 — the exact
-    integer fast path of ``analysis.sample_by_hash`` (lowbias32 rounds,
-    all products < 2^58 so BIGINT arithmetic is exact)."""
+    integer fast path of ``analysis.sample_by_hash``."""
+    inner = mix32_subquery("doc_id", ["doc_id", "lang"], "documents")
+    return f"SELECT doc_id, lang FROM {inner} WHERE h % {denom} = 0"
+
+
+def stratified_sample_sql(key: str = "lang", k: int = 3) -> str:
+    """Oracle for ``analysis.stratified_sample_k``: per-group head-k in
+    (mix32(id), id) order via ``row_number``."""
+    inner = mix32_subquery("doc_id", ["doc_id", key], "documents")
     return f"""
-SELECT doc_id, lang FROM (
-  SELECT doc_id, lang, xor(m2, m2 // 65536) AS h FROM (
-    SELECT doc_id, lang, (xor(m1, m1 // 65536) * 73244475) % 4294967296 AS m2 FROM (
-      SELECT doc_id, lang, (xor(p0, p0 // 65536) * 73244475) % 4294967296 AS m1 FROM (
-        SELECT doc_id, lang,
-               xor(doc_id % 4294967296, doc_id // 4294967296) AS p0
-        FROM documents))))
-WHERE h % {denom} = 0
+SELECT doc_id, {key} FROM (
+  SELECT doc_id, {key},
+         row_number() OVER (PARTITION BY {key} ORDER BY h, doc_id) AS rn
+  FROM {inner}
+) WHERE rn <= {k}
 """
 
 

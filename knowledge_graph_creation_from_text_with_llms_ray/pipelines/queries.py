@@ -680,6 +680,26 @@ def q_rel_asof_join_chunked(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value_c_asof"])
 
 
+def q_rel_range_join(sf_dir: str):
+    """Range join (custom operator — Ray Data has none): every event
+    paired with the same user's click events within ±5 minutes."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    left = events.select_columns(["event_id", "user_id", "ts"])
+    right = events.filter(expr="event_type == 'click'").map_batches(
+        lambda b: b.rename_columns(
+            ["event_id_click" if c == "event_id" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["user_id", "ts", "event_id_click"])
+    out = windows.range_join(
+        left, right, key="user_id", ts_col="ts",
+        window_seconds=300.0, right_cols=["event_id_click"],
+    )
+    return out.select_columns(["event_id", "event_id_click_r", "dt_us"])
+
+
 def q_rel_salted_agg(sf_dir: str):
     """Explicitly salted two-phase aggregation (hot-key protection):
     identical result to a plain GROUP BY, verified by the oracle."""
@@ -807,6 +827,14 @@ def q_doc_sample_hash(sf_dir: str):
     unlike random_sample) — verified value-exact by the md5 oracle."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return analysis.sample_by_hash(ds, denom=7).select_columns(["doc_id", "lang"])
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Exactly-3-per-language deterministic sample (the per-group
+    balancing cap) — verified value-exact by a row_number oracle over
+    the same id-hash order."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return analysis.stratified_sample_k(ds, key="lang", id_col="doc_id", k=3)
 
 
 def q_text_stats(sf_dir: str):
@@ -1253,9 +1281,19 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["dedup_fingerprint_slim"] = out["dedup_fingerprint"]
     out["text_token_topk"] = oracle_text.token_topk_sql(k=20)
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
+    out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
     out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
         table="orders", col="o_custkey", p=12
     )
+    out["rel_range_join"] = """
+SELECT l.event_id,
+       r.event_id AS event_id_click_r,
+       epoch_us(l.ts) - epoch_us(r.ts) AS dt_us
+FROM events l
+JOIN events r
+  ON r.user_id = l.user_id
+ AND r.event_type = 'click'
+ AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000"""
     return out
 
 
@@ -1288,6 +1326,7 @@ def queries():
         "rel_asof_join": q_rel_asof_join,
         "rel_asof_join_chunked": q_rel_asof_join_chunked,
         "rel_salted_agg": q_rel_salted_agg,
+        "rel_range_join": q_rel_range_join,
         "rel_running_sum": q_rel_running_sum,
         "rel_running_sum_chunked": q_rel_running_sum_chunked,
         "rel_topk_per_group": q_rel_topk_per_group,
@@ -1298,6 +1337,7 @@ def queries():
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
         "text_token_topk": q_text_token_topk,
         "doc_sample_hash": q_doc_sample_hash,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,

@@ -197,3 +197,58 @@ def sample_by_hash(
         return batch.filter(mask)
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def stratified_sample_k(
+    ds: ray.data.Dataset,
+    key: str,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Exactly-k-per-group deterministic sample: each group keeps its
+    ``k`` rows with the smallest ``mix32(id)`` (ties broken by id) — a
+    reservoir-free, layout/run-independent stratified cap (the per-lang
+    / per-source balancing primitive of training-data curation).
+
+    Distributed shape = grouped top-k: per-batch local head per group
+    (combiner caps any group at k rows per block) then a per-group
+    final head — the shuffle carries at most k rows per (group, block).
+    """
+    import numpy as np
+
+    from ..functions.hashing import _mix32
+
+    def _add_hash(batch: pa.Table) -> pa.Table:
+        x = (
+            batch[id_col]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+    def _local(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[(key, "ascending"), ("__h", "ascending"), (id_col, "ascending")]
+        )
+        g = batch.take(order)
+        # head-k per group within the block (vectorized run-position)
+        import numpy as np
+
+        keys_np = g[key].to_numpy(zero_copy_only=False)
+        new_grp = np.r_[True, keys_np[1:] != keys_np[:-1]]
+        idx = np.arange(len(keys_np))
+        pos = idx - np.maximum.accumulate(np.where(new_grp, idx, 0))
+        return g.filter(pa.array(pos < k))
+
+    def _final(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("__h", "ascending"), (id_col, "ascending")]
+        )
+        return group.take(order).slice(0, k).drop_columns(["__h"])
+
+    local = ds.map_batches(_add_hash, batch_format="pyarrow").map_batches(
+        _local, batch_format="pyarrow"
+    )
+    return local.groupby(key).map_groups(_final, batch_format="pyarrow")

@@ -580,3 +580,100 @@ def topk_per_group(
         )
 
     return ds.groupby(key).map_groups(_per_key, batch_format="pyarrow")
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    window_seconds: float,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Range (interval) join: every (left, right) pair of the same key
+    with ``|left.ts - right.ts| <= window``.  Ray Data has no native
+    range join; composition: both sides are bucketed by
+    ``ts // window``, the RIGHT side replicated into the three buckets
+    any match can live in (c-1, c, c+1), one groupby on (key, bucket),
+    and a vectorized searchsorted span per left row — every pair is
+    emitted exactly once (each left row lives in exactly one bucket and
+    sees each matching right row exactly once there).  Per-task state
+    is bounded by one (key, window-bucket) slice, so key skew is capped
+    the same way as the chunked window operators.  Adds a ``dt_us``
+    column (left.ts - right.ts in µs, exact integer)."""
+    chunk_us = int(window_seconds * 1_000_000)
+    window_us = chunk_us
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    out_vals = [(c, c + suffix, right_types[c]) for c in right_cols]
+    ordered = left_cols + [o for _, o, _ in out_vals] + ["__ts", "__chunk", "__side"]
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        for _, o, t in out_vals:
+            batch = batch.append_column(o, pa.nulls(batch.num_rows, t))
+        ts = batch[ts_col].cast(pa.int64())
+        batch = batch.append_column("__ts", ts)
+        batch = batch.append_column("__chunk", pc.divide(ts, chunk_us).cast(pa.int64()))
+        batch = batch.append_column("__side", pa.array([0] * batch.num_rows, pa.int8()))
+        return batch.select(ordered)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            cols[c] = batch[key] if c == key else pa.nulls(n, left_types[c])
+        for c, o, _t in out_vals:
+            cols[o] = batch[c]
+        ts = batch[ts_col].cast(pa.int64())
+        cols["__ts"] = ts
+        cols["__side"] = pa.array([1] * n, pa.int8())
+        base = pc.divide(ts, chunk_us).cast(pa.int64())
+        parts = []
+        for d in (-1, 0, 1):  # replicate to the three reachable buckets
+            cols["__chunk"] = pc.add(base, d).cast(pa.int64())
+            parts.append(pa.table({name: cols[name] for name in ordered}))
+        return pa.concat_tables(parts)
+
+    l_tagged = left.map_batches(_tag_left, batch_format="pyarrow", batch_size=None)
+    r_tagged = right.select_columns(
+        list(dict.fromkeys([key, ts_col] + right_cols))
+    ).map_batches(_tag_right, batch_format="pyarrow", batch_size=None)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"])
+        ts = np.asarray(group["__ts"])
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        empty_cols = {c: pa.array([], left_types[c]) for c in left_cols}
+        for _, o, t in out_vals:
+            empty_cols[o] = pa.array([], t)
+        empty_cols["dt_us"] = pa.array([], pa.int64())
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return pa.table(empty_cols)
+        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
+        r_ts = ts[r_order]
+        lts = ts[l_idx]
+        lo = np.searchsorted(r_ts, lts - window_us, side="left")
+        hi = np.searchsorted(r_ts, lts + window_us, side="right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return pa.table(empty_cols)
+        l_take = np.repeat(l_idx, counts)
+        r_take = np.concatenate(
+            [r_order[a:b] for a, b in zip(lo, hi) if b > a]
+        )
+        out = group.take(pa.array(l_take)).select(left_cols)
+        taken_r = group.take(pa.array(r_take))
+        for _, o, _t in out_vals:
+            out = out.append_column(o, taken_r[o])
+        dt = np.repeat(ts[l_idx], counts) - ts[r_take]
+        return out.append_column("dt_us", pa.array(dt.astype(np.int64)))
+
+    unioned = l_tagged.union(r_tagged)
+    return unioned.groupby([key, "__chunk"]).map_groups(
+        _merge, batch_format="pyarrow"
+    )

@@ -241,3 +241,40 @@ def test_asof_join_chunked_matches_plain():
             ).take_all()
         }
         assert chunked == plain, via
+
+
+def test_range_join_matches_bruteforce_on_skewed_data():
+    import numpy as np
+
+    t = _skewed_events(n=800)
+    ds = ray.data.from_arrow(t)
+    left = ds.select_columns(["event_id", "user_id", "ts"])
+    import pyarrow.compute as pc3
+
+    right = ds.map_batches(
+        lambda b: b.filter(pc3.equal(pc3.bit_wise_and(b["event_id"], 7), 0)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["rid" if c == "event_id" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["user_id", "ts", "rid"])
+    W = 600.0
+    got = sorted(
+        (r["event_id"], r["rid_r"], r["dt_us"])
+        for r in windows.range_join(
+            left, right, key="user_id", ts_col="ts",
+            window_seconds=W, right_cols=["rid"],
+        ).take_all()
+    )
+    # brute force
+    eid = t["event_id"].to_pylist()
+    uid = t["user_id"].to_pylist()
+    ts = [v.cast("int64").as_py() for v in __import__("pyarrow").compute.cast(t["ts"], "int64")]
+    want = []
+    for i in range(len(eid)):
+        for j in range(len(eid)):
+            if uid[i] == uid[j] and eid[j] % 8 == 0 and abs(ts[i] - ts[j]) <= W * 1e6:
+                want.append((eid[i], eid[j], ts[i] - ts[j]))
+    assert got == sorted(want)
