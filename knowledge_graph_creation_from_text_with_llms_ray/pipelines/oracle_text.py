@@ -286,6 +286,28 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
 
 
+def dedup_components_sql(n: int = 3, threshold: float = 0.3) -> str:
+    """Oracle for ``dedup.connected_components`` over the exact n-gram
+    Jaccard pairs: minimum reachable id per node via a recursive
+    reachability CTE (terminates through the UNION dedup)."""
+    inner = dedup_ngram_sql(n=n, threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+cc_edges AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+cc_nodes AS (SELECT DISTINCT node FROM cc_edges),
+reach(node, r) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT e.node, reach.r FROM cc_edges e JOIN reach ON reach.node = e.nbr
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash_sql(max_hamming: int = 8, bands: int = 4, max_bucket: int = 256) -> str:
     width = 64 // bands
     p16 = ", ".join(

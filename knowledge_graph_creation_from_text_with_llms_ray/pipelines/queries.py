@@ -680,6 +680,34 @@ def q_rel_asof_join_chunked(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value_c_asof"])
 
 
+def q_rel_sliding_sum(sf_dir: str):
+    """Trailing 30-minute window sum per user at every event (SQL
+    RANGE-frame semantics, peers included) through the slice+carry
+    implementation — exact, skew-bounded."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "value_c": _cents(b["value"]),
+            }
+        )
+
+    out = windows.sliding_window_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        ts_col="ts",
+        value_col="value_c",
+        window_seconds=1800.0,
+    )
+    return out.select_columns(["event_id", "user_id", "window_sum"])
+
+
 def q_rel_range_join(sf_dir: str):
     """Range join (custom operator — Ray Data has none): every event
     paired with the same user's click events within ±5 minutes."""
@@ -807,6 +835,15 @@ def q_dedup_embedding(sf_dir: str):
     return dedup.embedding_near_dup_pairs(ds, threshold=0.35, planes=6).select_columns(
         ["id_a", "id_b"]
     )
+
+
+def q_dedup_components(sf_dir: str):
+    """Near-dup clusters: iterative hash-min label propagation over the
+    exact n-gram Jaccard pairs (the keep-one-per-cluster step).
+    Verified against a recursive-CTE reachability oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.3, concurrency=(1, 2))
+    return dedup.connected_components(pairs)
 
 
 def q_dedup_fingerprint_slim(sf_dir: str):
@@ -1279,6 +1316,7 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["rel_running_sum_chunked"] = out["rel_running_sum"]
     out["rel_asof_join_chunked"] = out["rel_asof_join"]
     out["dedup_fingerprint_slim"] = out["dedup_fingerprint"]
+    out["dedup_components"] = oracle_text.dedup_components_sql(n=3, threshold=0.3)
     out["text_token_topk"] = oracle_text.token_topk_sql(k=20)
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
@@ -1294,6 +1332,13 @@ JOIN events r
   ON r.user_id = l.user_id
  AND r.event_type = 'click'
  AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000"""
+    out["rel_sliding_sum"] = """
+SELECT event_id, user_id,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS window_sum
+FROM events"""
     return out
 
 
@@ -1327,6 +1372,7 @@ def queries():
         "rel_asof_join_chunked": q_rel_asof_join_chunked,
         "rel_salted_agg": q_rel_salted_agg,
         "rel_range_join": q_rel_range_join,
+        "rel_sliding_sum": q_rel_sliding_sum,
         "rel_running_sum": q_rel_running_sum,
         "rel_running_sum_chunked": q_rel_running_sum_chunked,
         "rel_topk_per_group": q_rel_topk_per_group,
@@ -1335,6 +1381,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
+        "dedup_components": q_dedup_components,
         "text_token_topk": q_text_token_topk,
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_stratified": q_doc_sample_stratified,

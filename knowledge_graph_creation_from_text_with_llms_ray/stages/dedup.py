@@ -633,3 +633,99 @@ def fingerprint_dedup_slim(
     if not tables:  # empty input ⇒ every fp has a winner ⇒ no winners
         return with_fp
     return broadcast_semi_join(with_fp, pa.concat_tables(tables), keys=[id_col])
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Near-dup clusters from candidate pairs: every node labeled with
+    the MINIMUM node id reachable through the pair graph (the step that
+    turns pairwise dedup output into keep-one-per-cluster groups).
+
+    Iterative hash-min label propagation: each round every node adopts
+    the smallest label among itself and its neighbors — a combiner-
+    backed min-aggregation per round, so a round's shuffle carries one
+    (node, label) row per (node, block).  Converges in O(diameter)
+    rounds (near-dup clusters are shallow; ``max_iters`` is a
+    backstop).  The loop materializes one small (node, label) table per
+    round — never the pair list — and stops when a round changes
+    nothing.  Output: (node, component) with component = min reachable
+    id.  Deterministic; also expressible as a recursive-CTE oracle.
+    """
+    from .relational import pre_aggregated
+
+    # undirected edge list, both directions + self (id_a < id_b holds
+    # for dedup pairs but is not assumed)
+    def _expand(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"]
+        b = batch["id_b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ) if isinstance(a, pa.ChunkedArray) else pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ) if isinstance(b, pa.ChunkedArray) else pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        _expand, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # labels: node -> current component label (start: own id via the
+    # neighbor-min INCLUDING self, i.e. min(node, neighbors))
+    labels = pre_aggregated(
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "lbl": pc.min_element_wise(b["node"], b["nbr"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        aggs={"lbl": "lbl:min"},
+        num_partitions=2,
+    ).materialize()
+
+    from .relational import hash_join
+
+    for _ in range(max_iters):
+        # propagate: each node's new label = min over neighbors' labels
+        # and its own; neighbor labels come from one hash join of the
+        # edge list against the (small) label table
+        nbr_lbl = hash_join(
+            edges,
+            labels.map_batches(
+                lambda b: b.rename_columns(
+                    ["nbr" if c == "node" else "nbr_lbl" if c == "lbl" else c for c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            ),
+            on=("nbr",),
+            num_partitions=2,
+        )
+        candidates = nbr_lbl.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["nbr_lbl"]}),
+            batch_format="pyarrow",
+        ).union(labels)
+        new_labels = pre_aggregated(
+            candidates, keys=["node"], aggs={"lbl": "lbl:min"}, num_partitions=2
+        ).materialize()
+        # convergence: total label sum strictly decreases until fixpoint
+        old_sum = labels.sum("lbl")
+        new_sum = new_labels.sum("lbl")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(
+            ["component" if c == "lbl" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )

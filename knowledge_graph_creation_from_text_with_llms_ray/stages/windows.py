@@ -677,3 +677,58 @@ def range_join(
     return unioned.groupby([key, "__chunk"]).map_groups(
         _merge, batch_format="pyarrow"
     )
+
+
+def sliding_window_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: float,
+    out_col: str = "window_sum",
+) -> ray.data.Dataset:
+    """Trailing-window aggregate: for every row, the sum of
+    ``value_col`` over the same key's rows with
+    ``row.ts - window <= ts <= row.ts`` (inclusive trailing window —
+    SQL ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW``).
+
+    Skew-bounded by construction: rows are grouped by
+    (key, ``ts // window``) and each slice additionally receives the
+    PREVIOUS slice's rows (every trailing window spans at most two
+    slices), so per-task state is ≤ two window-widths of one key.  The
+    carried copies are marked and excluded from output — each row is
+    emitted exactly once.  Exact integer arithmetic (prefix-sum
+    difference over the sorted slice)."""
+    chunk_us = int(window_seconds * 1_000_000)
+    window_us = chunk_us
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64())
+        base = pc.divide(ts, chunk_us).cast(pa.int64())
+        own = batch.append_column("__ts", ts).append_column(
+            "__chunk", base
+        ).append_column("__carry", pa.array([False] * batch.num_rows))
+        carried = batch.append_column("__ts", ts).append_column(
+            "__chunk", pc.add(base, 1).cast(pa.int64())
+        ).append_column("__carry", pa.array([True] * batch.num_rows))
+        return pa.concat_tables([own, carried])
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", batch_size=None)
+
+    def _window(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("__ts", "ascending")])
+        g = group.take(order)
+        ts = np.asarray(g["__ts"])
+        vals = np.asarray(g[value_col], dtype=np.int64)
+        prefix = np.concatenate(([0], np.cumsum(vals)))
+        # window [t - W, t] inclusive on both ends
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        sums = prefix[hi] - prefix[lo]
+        out = g.append_column(out_col, pa.array(sums, pa.int64()))
+        keep = pc.invert(out["__carry"])
+        return out.filter(keep).drop_columns(["__ts", "__chunk", "__carry"])
+
+    return tagged.groupby([key, "__chunk"]).map_groups(
+        _window, batch_format="pyarrow"
+    )

@@ -164,3 +164,25 @@ def test_minhash_empty_documents_never_pair():
     banding (the SQL oracle has the same semantics)."""
     ds = _docs([(1, ""), (2, ""), (3, "real content here " * 10)])
     assert dedup.minhash_lsh_pairs(ds, threshold=0.1, concurrency=1).take_all() == []
+
+
+def test_connected_components_chain_and_star():
+    """Label propagation must traverse multi-hop chains (several
+    iterations), not just direct neighbors."""
+    pairs = pa.table(
+        {
+            # chain 1-2-3-4-5 (built as consecutive pairs), star 10-(11,12),
+            # isolated pair 20-21
+            "id_a": pa.array([1, 2, 3, 4, 10, 10, 20], pa.int64()),
+            "id_b": pa.array([2, 3, 4, 5, 11, 12, 21], pa.int64()),
+        }
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(ray.data.from_arrow(pairs)).take_all()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }

@@ -278,3 +278,45 @@ def test_range_join_matches_bruteforce_on_skewed_data():
             if uid[i] == uid[j] and eid[j] % 8 == 0 and abs(ts[i] - ts[j]) <= W * 1e6:
                 want.append((eid[i], eid[j], ts[i] - ts[j]))
     assert got == sorted(want)
+
+
+def test_sliding_window_sum_matches_bruteforce_with_ties():
+    import numpy as np
+
+    rows = []
+    eid = 0
+    rng = np.random.RandomState(9)
+    for uid in (1, 2):
+        for k in range(300):
+            # deliberately create ts ties within a user (RANGE peers)
+            secs = int(rng.randint(0, 5 * 3600 // 10)) * 10
+            rows.append((eid, uid, secs, int(rng.randint(1, 50)))); eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "value_c": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    W = 600.0
+    got = {
+        r["event_id"]: r["window_sum"]
+        for r in windows.sliding_window_sum(
+            ds, key="user_id", ts_col="ts", value_col="value_c",
+            window_seconds=W,
+        ).take_all()
+    }
+    ts_us = {r[0]: r[2] * 1_000_000 for r in rows}
+    want = {}
+    for eid_i, uid_i, secs_i, v_i in rows:
+        s = 0
+        for eid_j, uid_j, secs_j, v_j in rows:
+            if uid_j == uid_i and secs_i * 1_000_000 - W * 1e6 <= secs_j * 1_000_000 <= secs_i * 1_000_000:
+                s += v_j
+        want[eid_i] = s
+    assert got == want
