@@ -286,13 +286,11 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
 
 
-def dedup_components_sql(n: int = 3, threshold: float = 0.3) -> str:
-    """Oracle for ``dedup.connected_components`` over the exact n-gram
-    Jaccard pairs: minimum reachable id per node via a recursive
-    reachability CTE (terminates through the UNION dedup)."""
+def _components_ctes(n: int, threshold: float) -> str:
+    """Shared recursive-reachability CTE chain over the exact n-gram
+    pairs; exposes ``comp(node, component)``."""
     inner = dedup_ngram_sql(n=n, threshold=threshold)
-    return f"""
-WITH RECURSIVE pairs AS ({inner}),
+    return f"""WITH RECURSIVE pairs AS ({inner}),
 cc_edges AS (
   SELECT id_a AS node, id_b AS nbr FROM pairs
   UNION ALL
@@ -303,8 +301,27 @@ reach(node, r) AS (
   SELECT node, node FROM cc_nodes
   UNION
   SELECT e.node, reach.r FROM cc_edges e JOIN reach ON reach.node = e.nbr
-)
-SELECT node, min(r) AS component FROM reach GROUP BY node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)"""
+
+
+def dedup_components_sql(n: int = 3, threshold: float = 0.3) -> str:
+    """Oracle for ``dedup.connected_components`` over the exact n-gram
+    Jaccard pairs: minimum reachable id per node via a recursive
+    reachability CTE (terminates through the UNION dedup)."""
+    return f"""
+{_components_ctes(n, threshold)}
+SELECT node, component FROM comp
+"""
+
+
+def dedup_survivors_sql(n: int = 3, threshold: float = 0.3) -> str:
+    """Oracle for the keep-one-per-cluster curation query: every doc
+    except the non-minimum members of each near-dup component."""
+    return f"""
+{_components_ctes(n, threshold)}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
 """
 
 

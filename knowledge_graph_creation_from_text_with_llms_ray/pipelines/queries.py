@@ -846,6 +846,27 @@ def q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end near-dup curation: docs → exact n-gram pairs →
+    connected components → keep the minimum-id doc per cluster (docs in
+    no cluster keep themselves).  The non-survivor set is tiny (bounded
+    by the pair nodes), so it anti-joins as a broadcast key set."""
+    from ..stages.relational import broadcast_semi_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.3, concurrency=(1, 2))
+    comps = dedup.connected_components(pairs)
+    losers = comps.filter(expr="node != component").select_columns(["node"])
+    loser_tbl = pa.concat_tables(
+        [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows > 0]
+        or [pa.table({"node": pa.array([], pa.int64())})]
+    )
+    return broadcast_semi_join(
+        ds.select_columns(["doc_id"]), loser_tbl, keys=["doc_id"],
+        right_key_cols=["node"], anti=True,
+    )
+
+
 def q_dedup_fingerprint_slim(sf_dir: str):
     """Same result as ``dedup_fingerprint`` through the bodies-free
     shuffle (winner ids via combiner + bucketed min, rows recovered by
@@ -1317,6 +1338,7 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["rel_asof_join_chunked"] = out["rel_asof_join"]
     out["dedup_fingerprint_slim"] = out["dedup_fingerprint"]
     out["dedup_components"] = oracle_text.dedup_components_sql(n=3, threshold=0.3)
+    out["dedup_survivors"] = oracle_text.dedup_survivors_sql(n=3, threshold=0.3)
     out["text_token_topk"] = oracle_text.token_topk_sql(k=20)
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
@@ -1382,6 +1404,7 @@ def queries():
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "text_token_topk": q_text_token_topk,
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_stratified": q_doc_sample_stratified,
