@@ -201,3 +201,59 @@ def test_hll_registers_oracle_parity(ids):
     b, r = hll_partial(np.asarray(ids, dtype=np.int64))
     want = sorted(zip(b.tolist(), r.tolist()))
     assert got == want, ids
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_quantile_oracle_rule_parity(rows):
+    """The window-SQL quantile oracle must implement exactly the
+    'smallest value with cumulative count >= ceil(q*total)' rule of
+    relational.grouped_quantiles, on arbitrary tables."""
+    import math
+
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pa.table(
+            {
+                "l_returnflag": pa.array([r[0] for r in rows]),
+                # oracle applies the cents transform; feed v/100
+                "l_quantity": pa.array([r[1] / 100 for r in rows], pa.float64()),
+            }
+        ),
+    )
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.queries import oracle_sql
+
+    df = con.execute(oracle_sql()["rel_quantiles"]).fetchdf()
+    got = {(r.l_returnflag, r.q): r.value for r in df.itertuples()}
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    want = {}
+    for k, vs in by_key.items():
+        vs = sorted(vs)
+        for q in (0.25, 0.5, 0.75, 0.95):
+            rank = max(1, math.ceil(q * len(vs)))
+            want[(k, q)] = vs[rank - 1]
+    assert got == want, rows
+
+
+@settings(max_examples=20, deadline=None)
+@given(_TEXTS)
+def test_token_topk_oracle_parity(texts):
+    from collections import Counter
+
+    con = _con(texts)
+    df = con.execute(oracle_text.token_topk_sql(k=5)).fetchdf()
+    got = [(r.token, r.n) for r in df.itertuples()]
+    c: Counter = Counter()
+    for t in texts:
+        c.update(t.split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want, texts
