@@ -421,6 +421,9 @@ def _gram_explode(
     )
 
 
+_GRAM_WARN_DF = 10_000  # exact mode: warn when one gram fans out ≥ df² pairs
+
+
 def _gram_pairs(group: pa.Table, id_col: str, df_cap: int | None) -> pa.Table:
     """(a < b) pairs of docs sharing this gram.  ``df_cap=None`` is the
     exact mode (every co-occurrence counted, required for the Jaccard
@@ -432,6 +435,14 @@ def _gram_pairs(group: pa.Table, id_col: str, df_cap: int | None) -> pa.Table:
     ids = sorted(group[id_col].to_pylist())
     if df_cap is not None and len(ids) > df_cap:
         ids = []
+    elif df_cap is None and len(ids) > _GRAM_WARN_DF:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "exact ngram mode: one gram is shared by %d docs -> %d pairs "
+            "in a single task; pass a finite df_cap for skewed corpora",
+            len(ids), len(ids) * (len(ids) - 1) // 2,
+        )
     if len(ids) < 2:
         return pa.table(
             {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
@@ -448,10 +459,10 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     concurrency: int | tuple = (1, 4),
-    df_cap: int | None = None,
+    df_cap: int | None = 512,
     stepwise: bool = True,
 ) -> ray.data.Dataset:
-    """EXACT word-n-gram Jaccard near-dup pairs, fully distributed.
+    """Word-n-gram Jaccard near-dup pairs, fully distributed.
 
     Any pair with Jaccard > 0 shares at least one n-gram, so the
     shared-gram buckets have perfect recall — no LSH estimate and no
@@ -463,8 +474,19 @@ def ngram_jaccard_pairs(
     4. |A|, |B| joined onto the pairs (two hash joins);
     5. jaccard = inter / (|A| + |B| - inter) ≥ threshold.
 
-    Output: (id_a, id_b, jaccard).  ``df_cap`` optionally drops grams
-    shared by more than ``df_cap`` docs (skew guard; exact when None).
+    Output: (id_a, id_b, jaccard).
+
+    ``df_cap`` bounds skew: grams shared by more than ``df_cap`` docs
+    are dropped entirely (not sampled, so runs stay consistent).  The
+    DEFAULT IS FINITE — production corpora always contain stop-word
+    grams shared by millions of docs, and one such gram in exact mode
+    emits df·(df-1)/2 pairs inside a single task.  A dropped gram can
+    only LOWER a pair's computed Jaccard (intersection shrinks while
+    |A|,|B| stay full), so capping trades recall near the threshold for
+    a hard per-task pair budget, never false positives at jaccard=1.
+    Pass ``df_cap=None`` for the EXACT mode (required for the
+    value-exact SQL oracles; a gram above ``_GRAM_WARN_DF`` docs logs a
+    warning there).
     """
     from .relational import pre_aggregated
 
@@ -597,18 +619,33 @@ def embedding_near_dup_pairs(
     )
 
 
+WINNER_BROADCAST_LIMIT = 1_000_000  # ids; above this, recover via hash join
+
+
 def fingerprint_dedup_slim(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    recover: str = "auto",
+    broadcast_limit: int = WINNER_BROADCAST_LIMIT,
 ) -> ray.data.Dataset:
     """The 100-TB form of ``fingerprint_dedup``: the shuffle carries
     ONLY (fingerprint, id) — document bodies never enter the exchange.
     Winner ids (min id per fingerprint) come from a combiner + bucketed
-    Arrow min; the full rows are then recovered with a semi-join on the
+    Arrow min; the full rows are then recovered by a semi-join on the
     winner-id set.  Identical output to ``fingerprint_dedup``.
 
-    The winner-id set is broadcast (8 bytes per surviving doc); swap the
-    semi-join for a hash join when even the survivors outgrow that."""
-    from .relational import broadcast_semi_join, bucketed_group_aggregate
+    Row recovery is size-switched (``recover="auto"``): winner sets up
+    to ``broadcast_limit`` ids ship as a broadcast key set (one
+    ``ray.put``, read by every task); larger sets — at web scale the
+    survivors ≈ the distinct corpus, far too big for the driver — go
+    through a DISTRIBUTED ``left_semi`` hash join instead, never
+    touching the driver.  Force a path with ``recover="broadcast"`` /
+    ``"join"``."""
+    from .relational import broadcast_semi_join, bucketed_group_aggregate, hash_join
+
+    if recover not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown recover mode {recover!r}")
 
     with_fp = ds.map_batches(
         _fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
@@ -624,13 +661,14 @@ def fingerprint_dedup_slim(
         keys=["fingerprint"],
         agg_specs=[(f"{id_col}_min", "min")],
         rename={f"{id_col}_min_min": id_col},
-    )
-    tables = [
-        t
-        for t in ray.get(winners.select_columns([id_col]).to_arrow_refs())
-        if t.num_rows
-    ]
-    if not tables:  # empty input ⇒ every fp has a winner ⇒ no winners
+    ).select_columns([id_col]).materialize()
+    # count() on a materialized dataset is a metadata lookup, not a scan
+    if recover == "join" or (recover == "auto" and winners.count() > broadcast_limit):
+        return hash_join(
+            with_fp, winners, on=(id_col,), join_type="left_semi"
+        )
+    tables = [t for t in ray.get(winners.to_arrow_refs()) if t.num_rows]
+    if not tables:  # empty input ⇒ no fingerprints ⇒ no winners
         return with_fp
     return broadcast_semi_join(with_fp, pa.concat_tables(tables), keys=[id_col])
 

@@ -359,6 +359,31 @@ def salted_group_aggregate(
     )
 
 
+def _arrow_schema(ds: ray.data.Dataset):
+    """Best-effort ``pyarrow.Schema`` of a dataset (None if unknown)."""
+    s = ds.schema(fetch_if_missing=True)
+    base = getattr(s, "base_schema", s)
+    return base if isinstance(base, pa.Schema) else None
+
+
+def _joined_schema(
+    left_schema: pa.Schema,
+    right_schema: pa.Schema | None,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None,
+    join_type: str,
+) -> pa.Schema:
+    """Schema ``Dataset.join`` would produce: left columns, plus (for
+    non-semi/anti joins) the right columns minus the right join keys
+    (Acero merges key columns into the left-named ones)."""
+    if join_type in ("left_semi", "left_anti") or right_schema is None:
+        return left_schema
+    rkeys = set(right_on or on)
+    return pa.schema(
+        list(left_schema) + [f for f in right_schema if f.name not in rkeys]
+    )
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -368,20 +393,51 @@ def hash_join(
     num_partitions: int = 4,
     stepwise: bool = True,
 ) -> ray.data.Dataset:
-    """Shuffle hash join wrapper around ``Dataset.join`` with the
-    tiny-cluster mitigations this repo standardizes on: materialize the
-    inputs first (``stepwise=True``) so the join's aggregator actors
-    start with free CPUs — stacked lazy joins deadlock below ~8 CPUs
-    when each join's aggregators issue ``request_resources``
-    concurrently.  On a real cluster pass ``stepwise=False`` and let
-    the joins pipeline."""
+    """Shuffle hash join wrapper around ``Dataset.join`` (all Acero
+    join types incl. ``left_semi``/``left_anti``) with the tiny-cluster
+    mitigations this repo standardizes on: materialize the inputs first
+    (``stepwise=True``) so the join's aggregator actors start with free
+    CPUs — stacked lazy joins deadlock below ~8 CPUs when each join's
+    aggregators issue ``request_resources`` concurrently.  On a real
+    cluster pass ``stepwise=False`` and let the joins pipeline.
+
+    Empty inputs short-circuit (Ray's Join builds schema-less empty
+    partition tables when an input has zero blocks and Acero then fails
+    to find the key fields) — the short-circuit result carries the FULL
+    joined schema, not just the left side's."""
     if stepwise:
         left = left.materialize()
         right = right.materialize()
-        # Ray's Join builds schema-less empty partition tables when an
-        # input has zero blocks and Acero then fails to find the key
-        # fields; an empty side has a known-empty join result anyway.
-        if left.count() == 0 or (join_type == "inner" and right.count() == 0):
+        left_empty = left.count() == 0
+        right_empty = right.count() == 0
+        if left_empty or right_empty:
+            lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+            if join_type == "left_anti" and not left_empty:
+                return left  # nothing on the right ⇒ every left row survives
+            if lsch is not None and (
+                join_type in ("inner", "left_semi", "left_anti")
+                or (join_type == "left_outer" and left_empty)
+            ):
+                empty = _joined_schema(
+                    lsch, rsch, on, right_on, join_type
+                ).empty_table()
+                return ray.data.from_arrow(empty)
+            if join_type == "left_outer" and rsch is not None:
+                # right side empty: left rows + typed null right columns
+                extra = [
+                    f for f in rsch if f.name not in set(right_on or on)
+                ]
+
+                def _nulls(b: pa.Table) -> pa.Table:
+                    for f in extra:
+                        b = b.append_column(f.name, pa.nulls(b.num_rows, f.type))
+                    return b
+
+                return left.map_batches(
+                    _nulls, batch_format="pyarrow", batch_size=None
+                )
+            # schema unknown (schemaless empty) — legacy fallback;
+            # result schema is the left side's only.
             return left.limit(0)
     return left.join(
         right,

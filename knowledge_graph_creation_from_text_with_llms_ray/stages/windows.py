@@ -24,6 +24,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+# Per-(key, time-chunk) summary tables rejoin their rows broadcast while
+# they stay below this many rows; above it the chunked operators
+# auto-switch to a distributed hash join (offsets_via="auto").  At 10⁹
+# keys × 365 chunks the summaries are themselves a big dataset — they
+# must never be collected on the driver.
+OFFSETS_BROADCAST_LIMIT = 200_000
+
+
+def _offsets_strategy(
+    offsets: ray.data.Dataset, offsets_via: str
+) -> tuple[str, ray.data.Dataset]:
+    """Resolve ``offsets_via="auto"`` by counting the summary table:
+    broadcast below ``OFFSETS_BROADCAST_LIMIT`` rows, hash join above.
+    Explicit ``"broadcast"`` / ``"join"`` pass through unchanged."""
+    if offsets_via == "auto":
+        offsets = offsets.materialize()
+        via = (
+            "broadcast"
+            if offsets.count() <= OFFSETS_BROADCAST_LIMIT
+            else "join"
+        )
+        return via, offsets
+    if offsets_via not in ("broadcast", "join"):
+        raise ValueError(f"unknown offsets_via {offsets_via!r}")
+    return offsets_via, offsets
+
 
 def sessionize(
     ds: ray.data.Dataset,
@@ -155,7 +181,7 @@ def running_aggregate_chunked(
     value_col: str,
     out_col: str = "running_sum",
     chunk_seconds: float = 86400.0,
-    offsets_via: str = "broadcast",
+    offsets_via: str = "auto",
 ) -> ray.data.Dataset:
     """Skew-safe cumulative sum: identical result to
     ``running_aggregate`` but no task ever holds more than one
@@ -166,9 +192,11 @@ def running_aggregate_chunked(
     sort + cumsum per slice — while per-slice totals flow through a
     combiner aggregation and a per-key exclusive prefix sum (tiny:
     one row per nonempty slice).  The offsets rejoin the rows either
-    broadcast (default: offsets are ~#slices rows, orders of magnitude
-    smaller than the data) or via a hash join (``offsets_via="join"``)
-    when even the offsets outgrow a broadcast.
+    broadcast (offsets are ~#slices rows, usually orders of magnitude
+    smaller than the data) or via a distributed hash join when even the
+    offsets outgrow a broadcast; the default ``offsets_via="auto"``
+    counts the summary table and picks
+    (:data:`OFFSETS_BROADCAST_LIMIT`).
 
     ``ds`` is consumed twice (rows + totals); pass a re-executable
     pipeline (e.g. a parquet read) rather than a materialized monolith.
@@ -217,6 +245,7 @@ def running_aggregate_chunked(
 
     offsets = totals.groupby(key).map_groups(_prefix, batch_format="pyarrow")
 
+    offsets_via, offsets = _offsets_strategy(offsets, offsets_via)
     if offsets_via == "broadcast":
         off_parts = [t for t in ray.get(offsets.to_arrow_refs()) if t.num_rows > 0]
         if not off_parts:  # empty input
@@ -248,7 +277,7 @@ def sessionize_chunked(
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
     chunk_seconds: float = 86400.0,
-    offsets_via: str = "broadcast",
+    offsets_via: str = "auto",
 ) -> ray.data.Dataset:
     """Skew-safe sessionization: identical output to ``sessionize``
     with bounded per-task state.  Each (key, time-chunk) slice
@@ -353,6 +382,7 @@ def sessionize_chunked(
 
     adjust = summaries.groupby(key).map_groups(_merge, batch_format="pyarrow")
 
+    offsets_via, adjust = _offsets_strategy(adjust, offsets_via)
     if offsets_via == "broadcast":
         adj_parts = [t for t in ray.get(adjust.to_arrow_refs()) if t.num_rows > 0]
         if not adj_parts:  # empty input
@@ -389,7 +419,7 @@ def asof_join_chunked(
     right_value_cols: list[str],
     suffix: str = "_asof",
     chunk_seconds: float = 86400.0,
-    offsets_via: str = "broadcast",
+    offsets_via: str = "auto",
 ) -> ray.data.Dataset:
     """Skew-safe as-of join: identical result to ``asof_join`` with
     bounded per-task state.  Both sides are tagged and grouped by
@@ -528,6 +558,7 @@ def asof_join_chunked(
 
     carries = summaries.groupby(key).map_groups(_carry, batch_format="pyarrow")
 
+    offsets_via, carries = _offsets_strategy(carries, offsets_via)
     if offsets_via == "broadcast":
         carry_parts = [t for t in ray.get(carries.to_arrow_refs()) if t.num_rows > 0]
         if not carry_parts:  # empty input

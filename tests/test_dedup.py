@@ -186,3 +186,52 @@ def test_connected_components_chain_and_star():
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_fingerprint_slim_join_path_matches_broadcast():
+    """recover='join' (the 100-TB distributed semi-join) must produce
+    the same survivors as the broadcast path and as fingerprint_dedup."""
+    rows = [(i, f"text number {i % 5}") for i in range(20)]
+    ds = _docs(rows)
+    want = sorted(r["doc_id"] for r in dedup.fingerprint_dedup(ds).take_all())
+    for mode in ("broadcast", "join"):
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.fingerprint_dedup_slim(_docs(rows), recover=mode).take_all()
+        )
+        assert got == want == [0, 1, 2, 3, 4], mode
+
+
+def test_fingerprint_slim_auto_switches_on_limit():
+    rows = [(i, f"text {i}") for i in range(10)]  # all distinct -> 10 winners
+    # broadcast_limit below the winner count forces the join path in auto
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.fingerprint_dedup_slim(
+            _docs(rows), recover="auto", broadcast_limit=3
+        ).take_all()
+    )
+    assert got == list(range(10))
+
+
+def test_ngram_df_cap_bounds_hot_gram():
+    """One stop-word gram shared by 90% of docs: the finite default cap
+    drops it, so the pair budget stays bounded by the rare grams."""
+    hot = "the of and"  # one shared 3-gram across the hot docs
+    rows = [(i, f"{hot} unique{i} tail{i} word{i}") for i in range(45)]
+    rows += [(100 + i, f"cold{i} calm{i} quiet{i} still{i}") for i in range(5)]
+    ds = _docs(rows)
+    # exact mode: the hot gram alone yields 45*44/2 = 990 pairs
+    exact = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.01, concurrency=1, df_cap=None
+    ).take_all()
+    assert len(exact) == 990
+    # capped (production default is finite): hot gram dropped entirely
+    capped = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.01, concurrency=1, df_cap=10
+    ).take_all()
+    assert capped == []
+    import inspect
+
+    default = inspect.signature(dedup.ngram_jaccard_pairs).parameters["df_cap"].default
+    assert default is not None  # production default must stay finite

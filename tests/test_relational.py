@@ -180,3 +180,65 @@ def test_hll_registers_merge_and_layout_invariance():
         ).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_hash_join_semi_anti_match_broadcast():
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+                "v": pa.array([10, 20, 30, 40, 21], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 3, 3], pa.int64()), "junk": ["a", "b", "c"]})
+    )
+    semi = relational.hash_join(
+        left, right, on=("k",), right_on=("rk",), join_type="left_semi"
+    )
+    assert semi.schema().names == ["k", "v"]  # no right columns leak
+    assert sorted((r["k"], r["v"]) for r in semi.take_all()) == [
+        (2, 20), (2, 21), (3, 30)
+    ]
+    anti = relational.hash_join(
+        left, right, on=("k",), right_on=("rk",), join_type="left_anti"
+    )
+    assert sorted((r["k"], r["v"]) for r in anti.take_all()) == [(1, 10), (4, 40)]
+
+
+def test_hash_join_empty_sides_preserve_schema():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": ["x", "y"]})
+    )
+    empty_right = ray.data.from_arrow(
+        pa.table(
+            {"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.float64())}
+        )
+    )
+    # inner join with empty right: empty result with the FULL joined schema
+    inner = relational.hash_join(
+        left, empty_right, on=("k",), right_on=("rk",), join_type="inner"
+    )
+    assert inner.count() == 0
+    assert inner.schema().names == ["k", "v", "rv"]
+    # anti join with empty right: every left row survives
+    anti = relational.hash_join(
+        left, empty_right, on=("k",), right_on=("rk",), join_type="left_anti"
+    )
+    assert sorted(r["k"] for r in anti.take_all()) == [1, 2]
+    # left_outer with empty right: left rows + typed null right columns
+    louter = relational.hash_join(
+        left, empty_right, on=("k",), right_on=("rk",), join_type="left_outer"
+    )
+    rows = sorted(louter.take_all(), key=lambda r: r["k"])
+    assert [r["rv"] for r in rows] == [None, None]
+    # empty left: empty result, joined schema (filter keeps typed empty
+    # blocks; a limit(0) yields ZERO blocks and the schema is then
+    # genuinely unrecoverable — the documented legacy fallback)
+    empty_left = left.filter(expr="k > 100").materialize()
+    out = relational.hash_join(
+        empty_left, empty_right, on=("k",), right_on=("rk",), join_type="inner"
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["k", "v", "rv"]

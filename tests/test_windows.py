@@ -320,3 +320,22 @@ def test_sliding_window_sum_matches_bruteforce_with_ties():
                 s += v_j
         want[eid_i] = s
     assert got == want
+
+
+def test_offsets_strategy_auto_switches():
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64())})
+    )
+    via, _ = windows._offsets_strategy(small, "auto")
+    assert via == "broadcast"
+    orig = windows.OFFSETS_BROADCAST_LIMIT
+    try:
+        windows.OFFSETS_BROADCAST_LIMIT = 1
+        via, _ = windows._offsets_strategy(small, "auto")
+        assert via == "join"
+    finally:
+        windows.OFFSETS_BROADCAST_LIMIT = orig
+    import pytest
+
+    with pytest.raises(ValueError):
+        windows._offsets_strategy(small, "bogus")
