@@ -52,7 +52,20 @@ def pow2_values(n: int = 64) -> str:
 
 
 # Python str.split() semantics: split on any whitespace run, drop empties.
-TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> '')"
+# RE2's '\s' is ASCII-only ([\t\n\f\r ]) while Python str.split() splits
+# on every codepoint where str.isspace() is true (\x1c-\x1f, U+0085,
+# U+00A0, the U+2000 block, …) — so the class is generated FROM
+# str.isspace() to stay bit-for-bit with the Python kernels on arbitrary
+# unicode input.  Braces are doubled because TOKENS goes through
+# ``.format(col=…)``.
+_PY_WS = "".join(
+    f"\\x{{{cp:x}}}" for cp in range(0x10000) if chr(cp).isspace()
+)
+_PY_WS_CLASS = f"[{_PY_WS}]+"  # direct embedding (f-strings / concat)
+_PY_WS_FMT = _PY_WS_CLASS.replace("{", "{{").replace("}", "}}")  # via .format
+TOKENS = (
+    "list_filter(regexp_split_to_array({col}, '" + _PY_WS_FMT + "'), t -> t <> '')"
+)
 
 
 def _minhash_perm_values(num_perm: int = 64) -> str:
@@ -122,7 +135,7 @@ def trigram_counts_cte(
     le4 = md5_le_int("h", 4)
     return f"""
 {prefix}_pad AS (
-  SELECT key, ' ' || lower(regexp_replace(txt, '^\\s+|\\s+$', '', 'g')) || ' ' AS t
+  SELECT key, ' ' || lower(regexp_replace(txt, '^{_PY_WS_CLASS}|{_PY_WS_CLASS}$', '', 'g')) || ' ' AS t
   FROM ({src_select})
 ),
 {prefix}_tri AS (

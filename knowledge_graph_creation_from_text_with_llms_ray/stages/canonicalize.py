@@ -174,6 +174,6 @@ def materialize_nodes(edges: ray.data.Dataset) -> ray.data.Dataset:
 
     local = edges.map_batches(_node_batch, batch_format="pyarrow", batch_size=None)
     distinct = bucketed_group_aggregate(
-        local, keys=["node_id", "kind", "label"], agg_specs=[], num_buckets=8
+        local, keys=["node_id", "kind", "label"], agg_specs=[]
     )
     return distinct.sort("node_id")

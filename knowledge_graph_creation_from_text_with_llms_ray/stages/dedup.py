@@ -189,7 +189,7 @@ def _pair_reduce(
     ds: ray.data.Dataset,
     agg_specs: list[tuple[str, str]],
     rename: dict[str, str] | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Reduce over (id_a, id_b) pair keys via the int32-bucket + Arrow
     ``group_by`` path (Ray's native multi-key aggregator is the
@@ -232,7 +232,7 @@ def _attach_pair_column(
     table: ray.data.Dataset,
     id_col: str,
     value_col: str,
-    num_partitions: int = 4,
+    num_partitions: int | None = None,
     stepwise: bool = True,
 ) -> ray.data.Dataset:
     """Join ``value_col`` onto both pair sides → ``<value>_a``,
@@ -498,8 +498,7 @@ def ngram_jaccard_pairs(
     if stepwise:
         grams = grams.materialize()  # reused for sizes AND pairs
     sizes = pre_aggregated(
-        grams, keys=[id_col], aggs={"n_grams": "gram_hash:count"},
-        num_partitions=4,
+        grams, keys=[id_col], aggs={"n_grams": "gram_hash:count"}
     )
     per_gram = grams.groupby("gram_hash").map_groups(
         _gram_pairs,
@@ -727,7 +726,6 @@ def connected_components(
         ),
         keys=["node"],
         aggs={"lbl": "lbl:min"},
-        num_partitions=2,
     ).materialize()
 
     from .relational import hash_join
@@ -745,14 +743,13 @@ def connected_components(
                 batch_format="pyarrow",
             ),
             on=("nbr",),
-            num_partitions=2,
         )
         candidates = nbr_lbl.map_batches(
             lambda b: pa.table({"node": b["node"], "lbl": b["nbr_lbl"]}),
             batch_format="pyarrow",
         ).union(labels)
         new_labels = pre_aggregated(
-            candidates, keys=["node"], aggs={"lbl": "lbl:min"}, num_partitions=2
+            candidates, keys=["node"], aggs={"lbl": "lbl:min"}
         ).materialize()
         # convergence: total label sum strictly decreases until fixpoint
         old_sum = labels.sum("lbl")

@@ -22,6 +22,35 @@ import ray.data
 
 _PARTIAL_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+_CPUS_CACHE: int | None = None
+
+
+def _cluster_cpus() -> int:
+    """Cluster CPU count; 8 when Ray isn't initialized yet (the library
+    must never trigger ``ray.init`` itself — driver contract)."""
+    global _CPUS_CACHE
+    if _CPUS_CACHE is None and ray.is_initialized():
+        try:
+            _CPUS_CACHE = int(ray.cluster_resources().get("CPU", 0) or 0)
+        except Exception:
+            return 8
+    return _CPUS_CACHE or 8
+
+
+def partitions_for(
+    scale: float = 1.0, minimum: int = 4, maximum: int = 2048
+) -> int:
+    """Shuffle-partition / bucket default that tracks CLUSTER SIZE
+    instead of a tiny-cluster constant: ~``scale`` partitions per
+    cluster CPU, clamped to [minimum, maximum].  A plan written against
+    a 4-CPU test session then runs with 8 192 partitions on a 256-node
+    cluster without touching the call sites.  Aggregation stages use
+    scale=1 (one aggregator per core); join/summary stages use a
+    smaller scale — their aggregator actors each reserve a CPU, and
+    over-provisioning them starves upstream stages (the tiny-cluster
+    deadlock documented on ``hash_join``)."""
+    return int(min(maximum, max(minimum, round(_cluster_cpus() * scale))))
+
 
 class _BroadcastJoiner:
     def __init__(self, right_ref, keys, right_keys, join_type):
@@ -89,7 +118,7 @@ def pre_aggregated(
     ds: ray.data.Dataset,
     keys: list[str],
     aggs: dict[str, str],
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Two-phase distributed aggregation.
 
@@ -110,8 +139,10 @@ def pre_aggregated(
         cls = {"sum": Sum, "min": Min, "max": Max}[merge_fn]
         merge_aggs.append(cls(out_name, alias_name=out_name))
     # After the combine phase the shuffle volume is ~#keys × #blocks —
-    # a handful of partitions beats the default (one per input block),
-    # whose aggregator-actor startup dominates wall time.
+    # ~one partition per cluster CPU beats Ray's default (one per input
+    # block), whose aggregator-actor startup dominates wall time.
+    if num_partitions is None:
+        num_partitions = partitions_for()
     return partial.groupby(keys, num_partitions=num_partitions).aggregate(*merge_aggs)
 
 
@@ -216,7 +247,7 @@ def bucketed_group_aggregate(
     keys: list[str],
     agg_specs: list[tuple[str, str]],
     rename: dict[str, str] | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-bucket shuffle + Arrow C++ group_by — the fast path for
     high-volume multi-key aggregation.
@@ -230,6 +261,10 @@ def bucketed_group_aggregate(
     aggregate tuples, e.g. ``[("partial_count", "sum")]``; output
     columns ``<col>_<fn>`` can be renamed via ``rename``.
     """
+    if num_buckets is None:
+        # resolved BEFORE _bucket is defined: the closure is serialized
+        # with the concrete modulus
+        num_buckets = partitions_for(scale=2.0, minimum=32)
     sep = "\x1f"
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -314,7 +349,7 @@ def salted_group_aggregate(
     agg_specs: list[tuple[str, str]],
     rename: dict[str, str] | None = None,
     salt: int = 16,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Explicit key-salting for skewed hot keys: two-phase aggregation
     where phase 1 groups on ``(keys…, __salt)`` — a hot key's rows
@@ -390,7 +425,7 @@ def hash_join(
     on: tuple[str, ...],
     right_on: tuple[str, ...] | None = None,
     join_type: str = "inner",
-    num_partitions: int = 4,
+    num_partitions: int | None = None,
     stepwise: bool = True,
 ) -> ray.data.Dataset:
     """Shuffle hash join wrapper around ``Dataset.join`` (all Acero
@@ -405,6 +440,10 @@ def hash_join(
     partition tables when an input has zero blocks and Acero then fails
     to find the key fields) — the short-circuit result carries the FULL
     joined schema, not just the left side's."""
+    if num_partitions is None:
+        # join aggregators each pin a CPU — a fraction of the cluster,
+        # not one per core, or they starve the upstream map stages
+        num_partitions = partitions_for(scale=0.25, minimum=4)
     if stepwise:
         left = left.materialize()
         right = right.materialize()
@@ -449,7 +488,7 @@ def hash_join(
 
 
 def distinct(
-    ds: ray.data.Dataset, keys: list[str], num_partitions: int | None = 8
+    ds: ray.data.Dataset, keys: list[str], num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Distributed DISTINCT: local per-batch dedup (combiner) then
     global groupby.  Raise ``num_partitions`` for high-cardinality keys
@@ -459,6 +498,8 @@ def distinct(
         return batch.select(keys).group_by(keys).aggregate([])
 
     local = ds.map_batches(_local, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = partitions_for()
     grouped = local.groupby(keys, num_partitions=num_partitions).count()
     return grouped.drop_columns(["count()"])
 
@@ -488,7 +529,6 @@ def grouped_quantiles(
         ds.select_columns(keys + [value_col]),
         keys=keys + [value_col],
         aggs={"__n": f"{value_col}:count"},
-        num_partitions=4,
     )
 
     def _pick(group: pa.Table) -> pa.Table:
@@ -550,5 +590,4 @@ def approx_distinct_registers(
         partials,
         keys=["bucket"],
         aggs={"register": "rho:max"},
-        num_partitions=2,
     )

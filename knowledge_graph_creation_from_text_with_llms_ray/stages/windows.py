@@ -227,7 +227,6 @@ def running_aggregate_chunked(
         chunked.select_columns([key, "__chunk", value_col]),
         keys=[key, "__chunk"],
         aggs={"__total": f"{value_col}:sum"},
-        num_partitions=4,
     )
 
     def _prefix(group: pa.Table) -> pa.Table:
@@ -259,9 +258,7 @@ def running_aggregate_chunked(
             local, pa.concat_tables(off_parts), keys=[key, "__chunk"], join_type="inner"
         )
     else:
-        joined = hash_join(
-            local, offsets, on=(key, "__chunk"), num_partitions=4
-        )
+        joined = hash_join(local, offsets, on=(key, "__chunk"))
 
     def _finish(batch: pa.Table) -> pa.Table:
         total = pc.add(batch["__local"], batch["__offset"])
@@ -393,7 +390,7 @@ def sessionize_chunked(
             rows, pa.concat_tables(adj_parts), keys=[key, "__chunk"], join_type="inner"
         )
     else:
-        joined = hash_join(rows, adjust, on=(key, "__chunk"), num_partitions=4)
+        joined = hash_join(rows, adjust, on=(key, "__chunk"))
 
     def _finish(batch: pa.Table) -> pa.Table:
         sess = pc.add(batch["__sess"], batch["__sess_off"])
@@ -570,7 +567,7 @@ def asof_join_chunked(
             rows, pa.concat_tables(carry_parts), keys=[key, "__chunk"], join_type="inner"
         )
     else:
-        joined = hash_join(rows, carries, on=(key, "__chunk"), num_partitions=4)
+        joined = hash_join(rows, carries, on=(key, "__chunk"))
 
     def _finish(batch: pa.Table) -> pa.Table:
         resolved = batch["__resolved"]

@@ -42,8 +42,28 @@ _ASCII = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     max_size=120,
 )
+# Texts for the byte-level oracles (rolling Karp–Rabin hashes UTF-8
+# bytes while the SQL replica uses codepoints — documented ASCII scope).
 _TEXTS = st.lists(
     st.one_of(_ASCII, st.sampled_from(["", "  ", "a b. C d!", "the of and to x"])),
+    min_size=1,
+    max_size=8,
+)
+# Texts for the TOKENIZED oracles: TOKENS now replicates Python
+# str.split() exactly, including the non-ASCII whitespace Python splits
+# on (\x1c-\x1f, U+0085, U+00A0, U+2000 block, U+3000) — exercise it.
+_EXOTIC_WS = st.sampled_from(
+    [
+        "a\x85b",
+        "x\xa0y z",
+        "a\x1cb\x1dc",
+        "p q r",
+        "m　n o",
+        " lead trail\x1f",
+    ]
+)
+_WS_TEXTS = st.lists(
+    st.one_of(_ASCII, _EXOTIC_WS, st.sampled_from(["", "  ", "a b. C d!"])),
     min_size=1,
     max_size=8,
 )
@@ -74,7 +94,7 @@ def test_fingerprints_oracle_parity(texts):
 
 
 @settings(max_examples=20, deadline=None)
-@given(_TEXTS)
+@given(_WS_TEXTS)
 def test_langid_oracle_parity(texts):
     con = _con(texts)
     df = con.execute(oracle_text.text_langid_sql()).fetchdf().set_index("doc_id")
@@ -85,7 +105,7 @@ def test_langid_oracle_parity(texts):
 
 
 @settings(max_examples=20, deadline=None)
-@given(_TEXTS)
+@given(_WS_TEXTS)
 def test_trigram_histogram_oracle_parity(texts):
     con = _con(texts)
     df = con.execute(oracle_text.text_embed_sql()).fetchdf().set_index("doc_id")
@@ -99,7 +119,7 @@ def test_trigram_histogram_oracle_parity(texts):
 
 
 @settings(max_examples=15, deadline=None)
-@given(_TEXTS)
+@given(_WS_TEXTS)
 def test_ngram_jaccard_oracle_parity(texts):
     threshold = 0.3
     con = _con(texts)
@@ -119,7 +139,7 @@ def test_ngram_jaccard_oracle_parity(texts):
 
 
 @settings(max_examples=10, deadline=None)
-@given(_TEXTS)
+@given(_WS_TEXTS)
 def test_simhash_pairs_oracle_parity(texts):
     con = _con(texts)
     df = con.execute(oracle_text.dedup_simhash_sql(max_hamming=8)).fetchdf()
@@ -245,7 +265,7 @@ def test_quantile_oracle_rule_parity(rows):
 
 
 @settings(max_examples=20, deadline=None)
-@given(_TEXTS)
+@given(_WS_TEXTS)
 def test_token_topk_oracle_parity(texts):
     from collections import Counter
 
