@@ -48,7 +48,12 @@ def partitions_for(
     scale=1 (one aggregator per core); join/summary stages use a
     smaller scale — their aggregator actors each reserve a CPU, and
     over-provisioning them starves upstream stages (the tiny-cluster
-    deadlock documented on ``hash_join``)."""
+    deadlock documented on ``hash_join``).
+
+    Scales are tuned so a ≤32-CPU session reproduces the empirically
+    fastest local constants (aggregator-actor startup dominates small
+    sessions — measured +45% wall at 32 partitions vs 8 on sf0.1)
+    while a multi-node cluster gets ~CPU-proportional exchanges."""
     return int(min(maximum, max(minimum, round(_cluster_cpus() * scale))))
 
 
@@ -142,7 +147,7 @@ def pre_aggregated(
     # ~one partition per cluster CPU beats Ray's default (one per input
     # block), whose aggregator-actor startup dominates wall time.
     if num_partitions is None:
-        num_partitions = partitions_for()
+        num_partitions = partitions_for(scale=0.25, minimum=8)
     return partial.groupby(keys, num_partitions=num_partitions).aggregate(*merge_aggs)
 
 
@@ -264,7 +269,7 @@ def bucketed_group_aggregate(
     if num_buckets is None:
         # resolved BEFORE _bucket is defined: the closure is serialized
         # with the concrete modulus
-        num_buckets = partitions_for(scale=2.0, minimum=32)
+        num_buckets = partitions_for(scale=1.0, minimum=32)
     sep = "\x1f"
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -443,7 +448,7 @@ def hash_join(
     if num_partitions is None:
         # join aggregators each pin a CPU — a fraction of the cluster,
         # not one per core, or they starve the upstream map stages
-        num_partitions = partitions_for(scale=0.25, minimum=4)
+        num_partitions = partitions_for(scale=0.125, minimum=4)
     if stepwise:
         left = left.materialize()
         right = right.materialize()
@@ -499,7 +504,7 @@ def distinct(
 
     local = ds.map_batches(_local, batch_format="pyarrow")
     if num_partitions is None:
-        num_partitions = partitions_for()
+        num_partitions = partitions_for(scale=0.25, minimum=8)
     grouped = local.groupby(keys, num_partitions=num_partitions).count()
     return grouped.drop_columns(["count()"])
 

@@ -57,14 +57,47 @@ def _final_topk(group: pa.Table, k: int) -> pa.Table:
     return top.append_column("rank", pa.array(range(1, top.num_rows + 1), pa.int32()))
 
 
+# Per-worker cache of the normalized query matrix, keyed by the
+# broadcast object id — task-pool economics (no actor startup latency)
+# with broadcast-actor semantics; worker processes persist across tasks.
+_QUERIES_CACHE: dict[str, tuple[list, np.ndarray]] = {}
+
+
+def _get_queries(queries_ref) -> tuple[list, np.ndarray]:
+    key = (
+        queries_ref.hex()
+        if isinstance(queries_ref, ray.ObjectRef)
+        else str(id(queries_ref))
+    )
+    cached = _QUERIES_CACHE.get(key)
+    if cached is None:
+        q = (
+            ray.get(queries_ref)
+            if isinstance(queries_ref, ray.ObjectRef)
+            else queries_ref
+        )
+        cached = (q["query_id"], _unit(np.asarray(q["matrix"], dtype=np.float32)))
+        _QUERIES_CACHE[key] = cached
+    return cached
+
+
+def _brute_force_score(
+    batch: pa.Table, queries_ref, vec_col: str, id_col: str, k: int
+) -> pa.Table:
+    """One matmul per batch against the broadcast query matrix."""
+    qids, qmat = _get_queries(queries_ref)
+    vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float32))
+    vids = np.asarray(batch[id_col].to_pylist())
+    scores = qmat @ vecs.T
+    return _topk_table(qids, vids, scores, k)
+
+
 class BruteForceScorer:
-    """Holds the broadcast (unit-normalized) query matrix; one matmul
-    per batch."""
+    """Actor-pool form of :func:`_brute_force_score` (kept for callers
+    that want an explicit pool; ``knn_brute_force`` uses the task pool)."""
 
     def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.qids = q["query_id"]
-        self.qmat = _unit(np.asarray(q["matrix"], dtype=np.float32))
+        self.qids, self.qmat = _get_queries(queries_ref)
         self.vec_col = vec_col
         self.id_col = id_col
         self.k = k
@@ -83,23 +116,29 @@ def knn_brute_force(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,  # unused; kept for API compat
 ) -> ray.data.Dataset:
     queries_ref = ray.put({"query_id": list(query_ids), "matrix": query_matrix})
+    # task pool (not an actor pool): per-worker query-matrix cache gives
+    # broadcast-actor economics without actor startup, and scheduling
+    # stays elastic next to other stages
     partials = ds.map_batches(
-        BruteForceScorer,
+        _brute_force_score,
         batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "queries_ref": queries_ref,
             "vec_col": vec_col,
             "id_col": id_col,
             "k": k,
         },
     )
-    return partials.groupby("query_id").map_groups(
-        _final_topk, batch_format="pyarrow", fn_kwargs={"k": k}
-    )
+    # partials are tiny (≤ queries × k rows per block): a handful of
+    # aggregators beats Ray's default of one per input block
+    from .relational import partitions_for
+
+    return partials.groupby(
+        "query_id", num_partitions=partitions_for(scale=0.125, minimum=4)
+    ).map_groups(_final_topk, batch_format="pyarrow", fn_kwargs={"k": k})
 
 
 def deterministic_centroids(
@@ -250,6 +289,10 @@ def knn_ivf(
             return pa.concat_tables(tables)
 
     partials = ds.map_batches(IVFScorer, batch_format="pyarrow", concurrency=concurrency)
-    return partials.groupby("query_id").map_groups(
-        _final_topk, batch_format="pyarrow", fn_kwargs={"k": k}
-    )
+    # partials are tiny (≤ queries × k rows per block): a handful of
+    # aggregators beats Ray's default of one per input block
+    from .relational import partitions_for
+
+    return partials.groupby(
+        "query_id", num_partitions=partitions_for(scale=0.125, minimum=4)
+    ).map_groups(_final_topk, batch_format="pyarrow", fn_kwargs={"k": k})
