@@ -62,3 +62,63 @@ def hll_estimate(buckets: np.ndarray, rhos: np.ndarray, p: int = HLL_P) -> float
     if raw <= 2.5 * m and zeros > 0:  # small-range correction
         return float(m * np.log(m / zeros))
     return float(raw)
+
+
+# ---------------------------------------------------------------------------
+# t-digest-style quantile sketch (simplified uniform-budget merging digest)
+# ---------------------------------------------------------------------------
+
+TDIGEST_DELTA = 200  # target centroid count; mid-quantile rank error ~1/delta
+
+
+def tdigest_compress(
+    means: np.ndarray, counts: np.ndarray, delta: int = TDIGEST_DELTA
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge weighted points/centroids into ≤ ~delta centroids: sort by
+    mean, greedily fuse neighbors while a centroid's weight stays under
+    ``total/delta``.  Deterministic for a given input multiset order
+    (stable sort); associative enough for tree merging — each level's
+    output is again (mean, count) rows.  Uniform weight budget (not the
+    tail-tapered k-scale of the t-digest paper) ⇒ rank error ~1/delta
+    uniformly, which the accuracy tests pin."""
+    if len(means) == 0:
+        return means.astype(np.float64), counts.astype(np.int64)
+    order = np.argsort(means, kind="stable")
+    means = np.asarray(means, dtype=np.float64)[order]
+    counts = np.asarray(counts, dtype=np.int64)[order]
+    total = int(counts.sum())
+    budget = max(1.0, total / float(delta))
+    out_m: list[float] = []
+    out_c: list[int] = []
+    cur_m, cur_c = float(means[0]), int(counts[0])
+    for m, c in zip(means[1:], counts[1:]):
+        c = int(c)
+        if cur_c + c <= budget:
+            cur_m = (cur_m * cur_c + float(m) * c) / (cur_c + c)
+            cur_c += c
+        else:
+            out_m.append(cur_m)
+            out_c.append(cur_c)
+            cur_m, cur_c = float(m), c
+    out_m.append(cur_m)
+    out_c.append(cur_c)
+    return np.asarray(out_m, dtype=np.float64), np.asarray(out_c, dtype=np.int64)
+
+
+def tdigest_quantiles(
+    means: np.ndarray, counts: np.ndarray, qs: list[float]
+) -> list[float]:
+    """Quantile estimates from a final centroid set: midpoint
+    cumulative ranks + linear interpolation between centroid means."""
+    order = np.argsort(means, kind="stable")
+    m = np.asarray(means, dtype=np.float64)[order]
+    c = np.asarray(counts, dtype=np.float64)[order]
+    total = c.sum()
+    if total == 0:
+        return [float("nan")] * len(qs)
+    cum = np.cumsum(c) - c / 2.0
+    out = []
+    for q in qs:
+        rank = q * total
+        out.append(float(np.interp(rank, cum, m)))
+    return out

@@ -568,6 +568,57 @@ SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}
 """
 
 
+def repetition_sql() -> str:
+    """Replica of ``analysis.repetition_profile`` + the integer keep
+    rule: duplicate-line characters (every occurrence counted, non-empty
+    ``\\n``-split lines), most-frequent word bigram coverage (ties →
+    lexicographically smallest), all emitted as BIGINTs."""
+    toks = TOKENS.format(col="coalesce(text, '')")
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(coalesce(text, ''), chr(10)),
+                            l -> l <> '')) AS ln
+  FROM documents
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN chars * cnt END), 0) AS BIGINT)
+           AS dup_line_chars,
+         CAST(coalesce(sum(chars * cnt), 0) AS BIGINT) AS line_chars
+  FROM (SELECT doc_id, ln, count(*) AS cnt, length(ln) AS chars
+        FROM lines GROUP BY doc_id, ln)
+  GROUP BY doc_id
+),
+toks AS (SELECT doc_id, {toks} AS t FROM documents),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+top_bigram AS (
+  SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS top_bigram_chars
+  FROM (SELECT doc_id, g, count(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g ASC) AS rn
+        FROM bigrams GROUP BY doc_id, g)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+  coalesce(ls.dup_line_chars, 0) AS dup_line_chars,
+  coalesce(ls.line_chars, 0) AS line_chars,
+  coalesce(tb.top_bigram_chars, 0) AS top_bigram_chars,
+  CAST(CASE WHEN len(tk.t) > 1 THEN len(tk.t) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
+  CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+  (coalesce(ls.dup_line_chars, 0) * 10 <= coalesce(ls.line_chars, 0) * 3
+   AND coalesce(tb.top_bigram_chars, 0) * 5 <= length(coalesce(d.text, ''))) AS keep
+FROM documents d
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN top_bigram tb USING (doc_id)
+JOIN toks tk USING (doc_id)
+"""
+
+
 def mix32_subquery(id_expr: str, carry_cols: list[str], src: str) -> str:
     """Layered subquery computing ``h = mix32(id_lo32 ^ id_hi32)`` of
     ``id_expr`` (lowbias32 rounds; every product < 2^58 → exact BIGINT)

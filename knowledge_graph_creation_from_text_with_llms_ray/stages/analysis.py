@@ -50,6 +50,78 @@ def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset
     )
 
 
+def repetition_profile(text: str) -> tuple[int, int, int, int, int]:
+    """Gopher-style repetition measures for one document, all integers
+    (so the SQL oracle is value-exact — no float ratios cross engines):
+
+    * ``dup_line_chars`` — characters in non-empty lines occurring ≥2
+      times in the doc (every occurrence counted);
+    * ``line_chars`` — characters in all non-empty lines;
+    * ``top_bigram_chars`` — occurrences × length of the most frequent
+      word bigram (ties → lexicographically smallest bigram);
+    * ``n_bigrams`` — number of word bigrams;
+    * ``n_chars`` — total characters.
+
+    Lines split on ``\\n`` only; words on Python ``str.split()``
+    whitespace (matching the oracle's TOKENS class).
+    """
+    from collections import Counter
+
+    lines = [ln for ln in text.split("\n") if ln]
+    line_counts = Counter(lines)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_chars = sum(
+        len(ln) * cnt for ln, cnt in line_counts.items() if cnt >= 2
+    )
+    toks = text.split()
+    bigrams = Counter(
+        toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+    )
+    if bigrams:
+        top_gram, top_cnt = min(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))
+        top_bigram_chars = top_cnt * len(top_gram)
+    else:
+        top_bigram_chars = 0
+    return dup_line_chars, line_chars, top_bigram_chars, len(toks) - 1 if len(toks) > 1 else 0, len(text)
+
+
+def _repetition_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    profiles = [repetition_profile(t or "") for t in batch[text_col].to_pylist()]
+    dup, tot, topg, nbg, nch = (
+        zip(*profiles) if profiles else ((), (), (), (), ())
+    )
+    out = (
+        batch.append_column("dup_line_chars", pa.array(dup, pa.int64()))
+        .append_column("line_chars", pa.array(tot, pa.int64()))
+        .append_column("top_bigram_chars", pa.array(topg, pa.int64()))
+        .append_column("n_bigrams", pa.array(nbg, pa.int64()))
+        .append_column("n_chars", pa.array(nch, pa.int64()))
+    )
+    # Gopher-ish keep rule, integer cross-multiplied (exact in SQL too):
+    # ≤30% of line characters in duplicate lines AND the top bigram
+    # covers ≤20% of all characters (vacuously true with no bigrams).
+    keep = pc.and_(
+        pc.less_equal(
+            pc.multiply(out["dup_line_chars"], pa.scalar(10, pa.int64())),
+            pc.multiply(out["line_chars"], pa.scalar(3, pa.int64())),
+        ),
+        pc.less_equal(
+            pc.multiply(out["top_bigram_chars"], pa.scalar(5, pa.int64())),
+            out["n_chars"],
+        ),
+    )
+    return out.append_column("keep", keep)
+
+
+def repetition_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-document repetition / quality-filter stats (the Gopher-rule
+    shape a 100-TB curation pipeline applies before training): pure
+    per-row map — no shuffle, streams at read speed."""
+    return ds.map_batches(
+        _repetition_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+
+
 def _langid_batch(batch: pa.Table, text_col: str) -> pa.Table:
     preds = [detect_language(t or "") for t in batch[text_col].to_pylist()]
     return batch.append_column(

@@ -562,6 +562,94 @@ def grouped_quantiles(
     return counts.groupby(keys).map_groups(_pick, batch_format="pyarrow")
 
 
+def approx_quantiles_tdigest(
+    ds: ray.data.Dataset,
+    value_col: str,
+    quantiles: list[float],
+    delta: int | None = None,
+    out_col: str = "value",
+) -> ray.data.Dataset:
+    """APPROXIMATE quantiles for CONTINUOUS numeric columns — the
+    companion to :func:`grouped_quantiles` (which is exact but requires
+    bounded value cardinality): a t-digest-style mergeable centroid
+    sketch.
+
+    Tree shape (every level streams, nothing driver-side):
+
+    1. each block compresses to ≤ ~delta (mean, count) centroids;
+    2. centroid rows shuffle into ``partitions_for()`` buckets (hash of
+       the mean — any value-space split is valid, the final merge
+       re-compresses) and each bucket compresses again;
+    3. one final group compresses the ≤ buckets × delta survivors and
+       interpolates the requested quantiles.
+
+    Shuffle volume is O(delta × blocks) rows of two doubles — corpus
+    size never appears.  Rank error ~1/delta (uniform budget), pinned
+    by accuracy tests; estimates depend on block layout (inherent to
+    any mergeable quantile sketch at fixed size).  Output: (q, out_col).
+    """
+    import numpy as np
+
+    from ..functions.sketch import TDIGEST_DELTA, tdigest_compress, tdigest_quantiles
+
+    delta = TDIGEST_DELTA if delta is None else delta
+    num_buckets = partitions_for(scale=0.25, minimum=4)
+
+    def _block_digest(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vals = vals[~np.isnan(vals)]
+        m, c = tdigest_compress(vals, np.ones(len(vals), dtype=np.int64), delta)
+        # bucket by a hash of the mean bits: deterministic, value-space
+        # agnostic (the final merge is order-insensitive anyway)
+        bits = m.view(np.uint64)
+        mixed = (bits ^ (bits >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    (mixed % np.uint64(num_buckets)).astype(np.int32)
+                ),
+                "mean": pa.array(m),
+                "count": pa.array(c),
+            }
+        )
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        m, c = tdigest_compress(
+            group["mean"].to_numpy(zero_copy_only=False),
+            group["count"].to_numpy(zero_copy_only=False),
+            delta,
+        )
+        return pa.table(
+            {
+                "__final": pa.array(np.zeros(len(m), dtype=np.int32)),
+                "mean": pa.array(m),
+                "count": pa.array(c),
+            }
+        )
+
+    def _finalize(group: pa.Table) -> pa.Table:
+        m, c = tdigest_compress(
+            group["mean"].to_numpy(zero_copy_only=False),
+            group["count"].to_numpy(zero_copy_only=False),
+            delta,
+        )
+        est = tdigest_quantiles(m, c, quantiles)
+        return pa.table(
+            {
+                "q": pa.array(quantiles, pa.float64()),
+                out_col: pa.array(est, pa.float64()),
+            }
+        )
+
+    digests = ds.select_columns([value_col]).map_batches(
+        _block_digest, batch_format="pyarrow", batch_size=None
+    )
+    merged = digests.groupby("__bucket").map_groups(
+        _merge_bucket, batch_format="pyarrow"
+    )
+    return merged.groupby("__final").map_groups(_finalize, batch_format="pyarrow")
+
+
 def approx_distinct_registers(
     ds: ray.data.Dataset, col: str, p: int | None = None
 ) -> ray.data.Dataset:

@@ -92,3 +92,38 @@ def test_sample_by_hash_deterministic_across_layouts():
     s1 = sorted(r["doc_id"] for r in analysis.sample_by_hash(ds1, denom=5).take_all())
     s2 = sorted(r["doc_id"] for r in analysis.sample_by_hash(ds2, denom=5).take_all())
     assert s1 == s2 and 0 < len(s1) < 200
+
+
+def test_repetition_profile_cases():
+    from knowledge_graph_creation_from_text_with_llms_ray.stages.analysis import repetition_profile
+
+    # no repetition at all
+    # tokens cross newlines (str.split() splits on \n too): 6 tokens,
+    # 5 bigrams including "c d"
+    dup, tot, topg, nbg, nch = repetition_profile("a b c\nd e f")
+    assert dup == 0 and tot == 10 and nbg == 5 and nch == 11
+    # "a b" occurs twice and ties are broken lexicographically
+    dup, tot, topg, nbg, nch = repetition_profile("a b a b")
+    assert topg == 2 * len("a b") and nbg == 3
+    # duplicate lines: every occurrence counts
+    dup, tot, _, _, _ = repetition_profile("xx\nyy\nxx\nxx")
+    assert dup == 6 and tot == 8
+    # empty text
+    assert repetition_profile("") == (0, 0, 0, 0, 0)
+    # empty lines are ignored for the line stats
+    dup, tot, _, _, _ = repetition_profile("\n\nq\n\n")
+    assert dup == 0 and tot == 1
+
+
+def test_repetition_stats_keep_rule():
+    import ray.data as rd
+
+    spam = "buy now\n" * 50          # 100% duplicate lines -> dropped
+    # genuinely varied: no repeated lines AND no repeated word bigram
+    clean = "\n".join(f"line{i} about{i} topic{i} stuff{i}" for i in range(20))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([spam, clean], pa.string())})
+    )
+    got = {r["doc_id"]: r["keep"] for r in analysis.repetition_stats(ds).take_all()}
+    assert got == {1: False, 2: True}

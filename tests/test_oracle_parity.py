@@ -277,3 +277,42 @@ def test_token_topk_oracle_parity(texts):
         c.update(t.split())
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == want, texts
+
+
+_NL_TEXTS = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=126, include_characters="\n"
+            ),
+            max_size=120,
+        ),
+        _EXOTIC_WS,
+        st.sampled_from(["", "\n\n", "a b\na b\n", "x\nx\nx", "w w w w"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_NL_TEXTS)
+def test_repetition_oracle_parity(texts):
+    from knowledge_graph_creation_from_text_with_llms_ray.stages.analysis import (
+        repetition_profile,
+    )
+
+    con = _con(texts)
+    df = con.execute(oracle_text.repetition_sql()).fetchdf().set_index("doc_id")
+    for i, t in enumerate(texts):
+        dup, tot, topg, nbg, nch = repetition_profile(t)
+        row = df.loc[i]
+        assert (
+            row["dup_line_chars"],
+            row["line_chars"],
+            row["top_bigram_chars"],
+            row["n_bigrams"],
+            row["n_chars"],
+        ) == (dup, tot, topg, nbg, nch), (t,)
+        keep = dup * 10 <= tot * 3 and topg * 5 <= nch
+        assert bool(row["keep"]) == keep, (t,)

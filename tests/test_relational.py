@@ -242,3 +242,45 @@ def test_hash_join_empty_sides_preserve_schema():
     )
     assert out.count() == 0
     assert out.schema().names == ["k", "v", "rv"]
+
+
+def test_tdigest_compress_preserves_mass_and_bounds_size():
+    import numpy as np
+
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.sketch import (
+        tdigest_compress,
+        tdigest_quantiles,
+    )
+
+    vals = np.linspace(0.0, 1.0, 10_000)
+    m, c = tdigest_compress(vals, np.ones(len(vals), dtype=np.int64), delta=100)
+    assert c.sum() == 10_000
+    assert len(m) <= 202  # ~delta centroids (greedy split slack ≤2×)
+    assert np.all(np.diff(m) >= 0)
+    est = tdigest_quantiles(m, c, [0.5])[0]
+    assert abs(est - 0.5) < 0.02
+
+
+def test_tdigest_operator_rank_accuracy():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    datasets = {
+        "uniform": rng.uniform(0, 1, 20_000),
+        "normal": rng.normal(100, 15, 20_000),
+        "lognormal": rng.lognormal(0, 1.5, 20_000),  # heavy right tail
+    }
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    for name, vals in datasets.items():
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.float64())})
+        ).repartition(16)
+        out = {
+            round(r["q"], 4): r["value"]
+            for r in relational.approx_quantiles_tdigest(ds, "v", qs).take_all()
+        }
+        for q in qs:
+            est = out[round(q, 4)]
+            true_rank = float(np.mean(vals <= est))
+            # uniform-budget digest: rank error ~1/delta (=0.5%); pin 2%
+            assert abs(true_rank - q) <= 0.02, (name, q, est, true_rank)
