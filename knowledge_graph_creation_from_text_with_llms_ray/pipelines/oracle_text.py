@@ -633,6 +633,21 @@ def mix32_subquery(id_expr: str, carry_cols: list[str], src: str) -> str:
         FROM {src}))))"""
 
 
+def split_sql(weights: dict[str, int] | None = None) -> str:
+    """Replica of ``analysis.split_by_hash``: mix32(id) % total indexes
+    the label list built from the weights in insertion order."""
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    labels: list[str] = []
+    for name, w in weights.items():
+        labels.extend([name] * int(w))
+    total = len(labels)
+    cases = " ".join(
+        f"WHEN h % {total} = {i} THEN '{lab}'" for i, lab in enumerate(labels)
+    )
+    inner = mix32_subquery("doc_id", ["doc_id", "lang"], "documents")
+    return f"SELECT doc_id, lang, CASE {cases} END AS split FROM {inner}"
+
+
 def sample_hash_sql(denom: int = 7) -> str:
     """mix32((id & 0xFFFFFFFF) ^ (id >> 32)) % denom == 0 — the exact
     integer fast path of ``analysis.sample_by_hash``."""

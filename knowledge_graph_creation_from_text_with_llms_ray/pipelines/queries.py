@@ -596,6 +596,33 @@ def q_rel_semijoin(sf_dir: str):
     return agg
 
 
+def q_rel_semijoin_bloom(sf_dir: str):
+    """Same result as ``rel_semijoin`` through the Bloom-prefilter path
+    (the shape for a right side too big to broadcast exactly but much
+    smaller than the left): packed m-bit filter of the late-order keys
+    broadcast once, exact left_semi hash join over the prefiltered
+    sliver — shares rel_semijoin's oracle."""
+    cutoff = datetime.datetime(1999, 1, 1)
+
+    def _late_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff))).select(
+            ["l_orderkey"]
+        )
+
+    late = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_late_only, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    kept = relational.bloom_semi_join(
+        orders, late, on="o_orderkey", right_on="l_orderkey"
+    )
+    return relational.pre_aggregated(
+        kept, keys=["o_orderpriority"], aggs={"n_orders": "o_orderkey:count"}
+    )
+
+
 def q_rel_antijoin(sf_dir: str):
     """Orders with NO late-shipped lineitem (NOT EXISTS), counted per
     priority — the anti flag of the broadcast semi-join."""
@@ -899,6 +926,16 @@ def q_doc_sample_stratified(sf_dir: str):
     the same id-hash order."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return analysis.stratified_sample_k(ds, key="lang", id_col="doc_id", k=3)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment — membership is
+    a pure function of the id (stable across runs/layouts/resumes), the
+    property a training pipeline needs so no document ever migrates
+    between train and eval.  Zero shuffle; verified value-exact by a
+    mix32-in-SQL oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return analysis.split_by_hash(ds).select_columns(["doc_id", "lang", "split"])
 
 
 def q_text_stats(sf_dir: str):
@@ -1380,6 +1417,8 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["dedup_survivors"] = oracle_text.dedup_survivors_sql(n=3, threshold=0.3)
     out["text_token_topk"] = oracle_text.token_topk_sql(k=20)
     out["text_repetition"] = oracle_text.repetition_sql()
+    out["rel_semijoin_bloom"] = out["rel_semijoin"]
+    out["doc_split"] = oracle_text.split_sql()
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
     out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
@@ -1467,6 +1506,8 @@ def queries():
         # tools/check_oracles.py; unique oracles kept in the first 50) ---
         "text_repetition": q_text_repetition,
         "rel_quantiles_tdigest": q_rel_quantiles_tdigest,
+        "rel_semijoin_bloom": q_rel_semijoin_bloom,
+        "doc_split": q_doc_split,
         # --- variant queries sharing an oracle with a twin above ---
         "kg_edges_shuffle": q_kg_edges_shuffle,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,

@@ -271,6 +271,52 @@ def sample_by_hash(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def split_by_hash(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: ``mix32`` of the id
+    modulo the weight total picks the split, so membership is a pure
+    function of the id — stable across runs, cluster sizes, block
+    layouts and resumes (the property a training pipeline needs so no
+    document ever migrates between train and eval).  ``weights`` maps
+    label → integer share (default ``{"train": 8, "val": 1, "test": 1}``
+    = 80/10/10); labels assign in insertion order over the modulo
+    range.  Pure per-row map, zero shuffle."""
+    import numpy as np
+
+    from ..functions.hashing import _mix32, hash64
+
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    labels: list[str] = []
+    for name, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {name!r} must be positive")
+        labels.extend([name] * int(w))
+    total = len(labels)
+    label_arr = pa.array(labels, pa.string())
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if pa.types.is_integer(col.type):
+            x = (
+                col.cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+            idx = (h % np.uint64(total)).astype(np.int64)
+        else:
+            idx = np.asarray(
+                [hash64(str(i)) % total for i in col.to_pylist()], dtype=np.int64
+            )
+        return batch.append_column(out_col, label_arr.take(pa.array(idx)))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
 def stratified_sample_k(
     ds: ray.data.Dataset,
     key: str,

@@ -562,6 +562,130 @@ def grouped_quantiles(
     return counts.groupby(keys).map_groups(_pick, batch_format="pyarrow")
 
 
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    anti: bool = False,
+    exact_verify: bool = True,
+) -> ray.data.Dataset:
+    """Semi/anti join where the right side is too big to BROADCAST
+    exactly but far smaller than the left — the 100-TB prefilter
+    pattern: a Bloom filter of the right keys cuts the left side to
+    ~matches (+ a false-positive sliver) BEFORE the exact hash join
+    touches it, so the expensive exchange moves only candidate rows.
+
+    The filter build is scale-safe by construction: per-block key
+    hashing emits DISTINCT set-bit positions, a distributed distinct
+    reduces them, and only the positions land on the driver — bounded
+    by ``m_bits/8`` bytes (128 KiB at the default) REGARDLESS of right
+    cardinality.  The packed filter broadcasts once via ``ray.put``.
+
+    With ``exact_verify=True`` (default) a ``left_semi``/``left_anti``
+    hash join runs on the prefiltered remainder, so the result is EXACT
+    — false positives only cost the sliver's join traffic (rate
+    ≈ (1-e^{-kn/m})^k; ~2e-4 at n=50k, defaults).  ``False`` skips the
+    join for pure-filter semantics (semi may keep false positives;
+    never drops a true match — anti requires exact_verify).
+
+    Integer keys only (the id-join shape this engine standardizes on).
+    """
+    import numpy as np
+
+    from ..functions.hashing import _mix32
+
+    if anti and not exact_verify:
+        raise ValueError("anti join requires exact_verify (FPs would drop rows)")
+    right_on = right_on or on
+    n_words = (m_bits + 63) // 64
+
+    def _bit_positions(batch: pa.Table) -> pa.Table:
+        vals = batch[right_on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = vals.astype(np.uint64)
+        h1 = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+        h2 = _mix32(h1 ^ np.uint64(0x9E3779B9)) | np.uint64(1)  # odd stride
+        pos = np.unique(
+            np.concatenate(
+                [
+                    (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                    for i in range(n_hashes)
+                ]
+            )
+        )
+        return pa.table({"bit": pa.array(pos.astype(np.int64))})
+
+    bits_ds = distinct(
+        right.select_columns([right_on]).map_batches(
+            _bit_positions, batch_format="pyarrow", batch_size=None
+        ),
+        ["bit"],
+    )
+    # bounded driver collection: ≤ m_bits rows of one int64 — 8 MiB at
+    # m=2^20 worst case, independent of right-side row count
+    bit_tables = [t for t in ray.get(bits_ds.to_arrow_refs()) if t.num_rows]
+    filt = np.zeros(n_words, dtype=np.uint64)
+    if bit_tables:
+        pos = pa.concat_tables(bit_tables)["bit"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        np.bitwise_or.at(
+            filt, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    filt_ref = ray.put(filt)
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        f = ray.get(filt_ref) if isinstance(filt_ref, ray.ObjectRef) else filt_ref
+        vals = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = vals.astype(np.uint64)
+        h1 = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+        h2 = _mix32(h1 ^ np.uint64(0x9E3779B9)) | np.uint64(1)  # odd stride
+        hit = np.ones(len(x), dtype=bool)
+        for i in range(n_hashes):
+            p = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            hit &= (f[(p >> np.uint64(6)).astype(np.int64)]
+                    >> (p & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(hit))
+
+    candidates = left.map_batches(
+        _prefilter, batch_format="pyarrow", batch_size=None
+    )
+    if not exact_verify:
+        return candidates
+    if anti:
+        # exact anti: rows the filter rejected are DEFINITELY non-matches
+        # (no false negatives) — they join the exact anti-join of the
+        # candidate sliver
+        def _prefilter_miss(batch: pa.Table) -> pa.Table:
+            f = ray.get(filt_ref) if isinstance(filt_ref, ray.ObjectRef) else filt_ref
+            vals = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            x = vals.astype(np.uint64)
+            h1 = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+            h2 = _mix32(h1 ^ np.uint64(0x9E3779B9)) | np.uint64(1)  # odd stride
+            hit = np.ones(len(x), dtype=bool)
+            for i in range(n_hashes):
+                p = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                hit &= (f[(p >> np.uint64(6)).astype(np.int64)]
+                        >> (p & np.uint64(63))) & np.uint64(1) != 0
+            return batch.filter(pa.array(~hit))
+
+        misses = left.map_batches(
+            _prefilter_miss, batch_format="pyarrow", batch_size=None
+        )
+        verified = hash_join(
+            candidates, right.select_columns([right_on]),
+            on=(on,), right_on=(right_on,), join_type="left_anti",
+        )
+        return misses.union(verified)
+    return hash_join(
+        candidates, right.select_columns([right_on]),
+        on=(on,), right_on=(right_on,), join_type="left_semi",
+    )
+
+
 def approx_quantiles_tdigest(
     ds: ray.data.Dataset,
     value_col: str,

@@ -127,3 +127,32 @@ def test_repetition_stats_keep_rule():
     )
     got = {r["doc_id"]: r["keep"] for r in analysis.repetition_stats(ds).take_all()}
     assert got == {1: False, 2: True}
+
+
+def test_split_by_hash_deterministic_and_layout_invariant():
+    import numpy as np
+    import pytest
+
+    ids = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+    a = {
+        r["doc_id"]: r["split"]
+        for r in analysis.split_by_hash(ray.data.from_arrow(ids)).take_all()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in analysis.split_by_hash(
+            ray.data.from_arrow(ids).repartition(13)
+        ).take_all()
+    }
+    assert a == b  # pure function of the id — layout cannot move a doc
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # custom weights + validation
+    c = analysis.split_by_hash(
+        ray.data.from_arrow(ids), weights={"a": 1, "b": 1}
+    ).take_all()
+    assert {r["split"] for r in c} == {"a", "b"}
+    with pytest.raises(ValueError):
+        analysis.split_by_hash(ray.data.from_arrow(ids), weights={"a": 0})

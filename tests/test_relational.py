@@ -284,3 +284,64 @@ def test_tdigest_operator_rank_accuracy():
             true_rank = float(np.mean(vals <= est))
             # uniform-budget digest: rank error ~1/delta (=0.5%); pin 2%
             assert abs(true_rank - q) <= 0.02, (name, q, est, true_rank)
+
+
+def test_bloom_semi_join_exact_even_with_false_positives():
+    import numpy as np
+    import pytest
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(range(200)), pa.int64()),
+                "v": pa.array([f"row{i}" for i in range(200)], pa.string()),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([3, 7, 7, 42, 199, 555], pa.int64())})
+    )
+    want_semi = [3, 7, 42, 199]
+    # tiny filter (64 bits for 5 distinct keys) -> false positives certain;
+    # exact_verify must still give the exact answer
+    for m_bits in (64, 1 << 16):
+        semi = sorted(
+            r["k"]
+            for r in relational.bloom_semi_join(
+                left, right, on="k", right_on="rk", m_bits=m_bits
+            ).take_all()
+        )
+        assert semi == want_semi, m_bits
+        anti = sorted(
+            r["k"]
+            for r in relational.bloom_semi_join(
+                left, right, on="k", right_on="rk", m_bits=m_bits, anti=True
+            ).take_all()
+        )
+        assert anti == sorted(set(range(200)) - set(want_semi)), m_bits
+    # pure-filter mode never drops a true match
+    cand = {
+        r["k"]
+        for r in relational.bloom_semi_join(
+            left, right, on="k", right_on="rk", m_bits=64, exact_verify=False
+        ).take_all()
+    }
+    assert set(want_semi) <= cand
+    with pytest.raises(ValueError):
+        relational.bloom_semi_join(
+            left, right, on="k", right_on="rk", anti=True, exact_verify=False
+        )
+
+
+def test_bloom_semi_join_empty_right():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": ["a", "b"]})
+    )
+    empty = ray.data.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert relational.bloom_semi_join(left, empty, on="k", right_on="rk").count() == 0
+    assert (
+        relational.bloom_semi_join(
+            left, empty, on="k", right_on="rk", anti=True
+        ).count()
+        == 2
+    )
