@@ -299,6 +299,46 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
 
 
+def contamination_sql(n: int = 3, threshold: float = 0.5, denom: int = 7) -> str:
+    """Replica of ``dedup.cross_ngram_contamination`` with the eval set
+    = the mix32 1/denom id-hash sample of ``documents`` (the standing
+    stand-in eval corpus), identity pairs excluded: containment =
+    inter / |grams(eval)| ≥ threshold."""
+    le8 = md5_le_int("h", 8)
+    toks = TOKENS.format(col="text")
+    sample = mix32_subquery("doc_id", ["doc_id"], "documents")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, hv FROM (
+    SELECT doc_id, {le8} AS hv FROM (
+      SELECT doc_id, md5(g) AS h FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) = 0 THEN []
+               WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - {n - 2}),
+                                   i -> array_to_string(toks[i:i+{n - 1}], ' '))
+          END) AS g
+        FROM tk)))
+),
+eval_ids AS (SELECT doc_id FROM {sample} WHERE h % {denom} = 0),
+eval_grams AS (SELECT g.doc_id, g.hv FROM grams g JOIN eval_ids e USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM eval_grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN eval_grams b ON a.hv = b.hv AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT p.id_a, p.id_b, CAST(p.inter AS DOUBLE) / se.ng AS containment
+  FROM pairs p JOIN sizes se ON se.doc_id = p.id_b
+)
+SELECT id_a, id_b, containment FROM cont WHERE containment >= {threshold}
+"""
+
+
 def _components_ctes(n: int, threshold: float) -> str:
     """Shared recursive-reachability CTE chain over the exact n-gram
     pairs; exposes ``comp(node, component)``."""

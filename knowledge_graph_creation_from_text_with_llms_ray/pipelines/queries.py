@@ -908,6 +908,22 @@ def q_dedup_fingerprint_slim(sf_dir: str):
     return dedup.fingerprint_dedup_slim(ds).select_columns(["doc_id", "fingerprint"])
 
 
+def q_dedup_contamination(sf_dir: str):
+    """Decontamination sweep: which corpus documents contain ≥40% of a
+    held-out document's n-grams (eval set = the deterministic 1/7
+    id-hash sample standing in for a benchmark set).  Identity pairs
+    excluded — eval ⊆ corpus here.  Exact mode (df_cap=None) so the
+    SQL oracle matches value-exact."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    eval_ds = analysis.sample_by_hash(docs, denom=7)
+    pairs = dedup.cross_ngram_contamination(
+        docs, eval_ds, threshold=0.4, df_cap=None
+    )
+    return pairs.filter(expr="id_a != id_b")
+
+
 def q_text_token_topk(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return analysis.token_topk(ds, k=20)
@@ -1419,6 +1435,9 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["text_repetition"] = oracle_text.repetition_sql()
     out["rel_semijoin_bloom"] = out["rel_semijoin"]
     out["doc_split"] = oracle_text.split_sql()
+    out["dedup_contamination"] = oracle_text.contamination_sql(
+        n=3, threshold=0.4, denom=7
+    )
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
     out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
@@ -1508,6 +1527,7 @@ def queries():
         "rel_quantiles_tdigest": q_rel_quantiles_tdigest,
         "rel_semijoin_bloom": q_rel_semijoin_bloom,
         "doc_split": q_doc_split,
+        "dedup_contamination": q_dedup_contamination,
         # --- variant queries sharing an oracle with a twin above ---
         "kg_edges_shuffle": q_kg_edges_shuffle,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,

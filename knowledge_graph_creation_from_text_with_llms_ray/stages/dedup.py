@@ -544,6 +544,143 @@ def ngram_jaccard_pairs(
     return with_sizes.map_batches(_jaccard, batch_format="pyarrow")
 
 
+def _cross_gram_pairs(
+    group: pa.Table, df_cap: int | None
+) -> pa.Table:
+    """(train_id, eval_id) pairs of cross-side docs sharing this gram.
+    ``df_cap`` drops the gram when EITHER side exceeds it (consistent
+    runs, bounded per-task pairs); None = exact."""
+    side = np.asarray(group["side"])
+    ids = np.asarray(group["id"])
+    t_ids = np.unique(ids[side == 0])
+    e_ids = np.unique(ids[side == 1])
+    if (
+        len(t_ids) == 0
+        or len(e_ids) == 0
+        or (df_cap is not None and (len(t_ids) > df_cap or len(e_ids) > df_cap))
+    ):
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+    ti, ei = np.meshgrid(t_ids, e_ids, indexing="ij")
+    return pa.table(
+        {
+            "id_a": pa.array(ti.ravel().astype(np.int64)),
+            "id_b": pa.array(ei.ravel().astype(np.int64)),
+        }
+    )
+
+
+def cross_ngram_contamination(
+    train: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = 512,
+    stepwise: bool = True,
+) -> ray.data.Dataset:
+    """Decontamination: find training documents that CONTAIN an eval
+    document's n-grams — ``containment = |grams(train) ∩ grams(eval)| /
+    |grams(eval)| ≥ threshold``.  The check every training pipeline
+    runs before shipping a corpus (eval-set leakage), asymmetric by
+    design: a long training doc fully containing a short eval doc
+    scores 1.0 where Jaccard would dilute it.
+
+    Same fully-distributed shape as :func:`ngram_jaccard_pairs` —
+    shared-gram buckets have perfect recall (any pair with containment
+    > 0 shares a gram), intersections reduce through bucketed pair
+    counts, the eval gram-count attaches by one hash join; no driver
+    materialization.  The eval side is typically ≪ the corpus, so the
+    cross product inside a gram bucket is bounded by
+    ``df(train) × df(eval)`` (``df_cap`` guards the stop-word grams;
+    None = exact mode for the oracle).
+
+    Output: (id_a = train id, id_b = eval id, containment).  Ids must
+    not collide across the two datasets (use distinct namespaces or
+    filter identity pairs downstream when eval ⊆ train).
+    """
+    from .relational import hash_join, pre_aggregated
+
+    def _explode_side(side_val: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            g = _gram_explode(batch, text_col, id_col, n)
+            return pa.table(
+                {
+                    "id": g[id_col].cast(pa.int64()),
+                    "gram_hash": g["gram_hash"],
+                    "side": pa.array(
+                        np.full(g.num_rows, side_val, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return _fn
+
+    grams_t = train.select_columns([id_col, text_col]).map_batches(
+        _explode_side(0), batch_format="pyarrow"
+    )
+    grams_e = eval_ds.select_columns([id_col, text_col]).map_batches(
+        _explode_side(1), batch_format="pyarrow"
+    )
+    if stepwise:
+        grams_e = grams_e.materialize()  # reused: sizes + pair buckets
+    sizes_e = pre_aggregated(
+        grams_e.select_columns(["id"]).map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["id"],
+        aggs={"ng_eval": "one:sum"},
+    )
+    per_gram = grams_t.union(grams_e).groupby("gram_hash").map_groups(
+        _cross_gram_pairs,
+        batch_format="pyarrow",
+        fn_kwargs={"df_cap": df_cap},
+    )
+    inter = _pair_reduce(
+        per_gram.map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        [("one", "sum")],
+        rename={"one_sum": "inter"},
+    )
+    joined = hash_join(
+        inter, sizes_e, on=("id_b",), right_on=("id",), stepwise=stepwise
+    )
+
+    def _containment(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "containment": pa.array([], pa.float64()),
+                }
+            )
+        inter_n = np.asarray(batch["inter"], dtype=np.float64)
+        ng = np.asarray(batch["ng_eval"], dtype=np.float64)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "containment": pa.array(inter_n / ng, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["containment"], threshold))
+
+    return joined.map_batches(_containment, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",

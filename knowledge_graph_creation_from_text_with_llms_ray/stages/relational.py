@@ -406,6 +406,31 @@ def _arrow_schema(ds: ray.data.Dataset):
     return base if isinstance(base, pa.Schema) else None
 
 
+def _drop_empty_blocks(
+    mds: ray.data.Dataset, schema: pa.Schema
+) -> ray.data.Dataset:
+    """Rebuild a MATERIALIZED dataset without its zero-row blocks.
+
+    ``groupby().map_groups`` / aggregate stages can emit ZERO-COLUMN
+    empty blocks; a map can't repair them (Ray skips empty blocks in
+    ``map_batches``), and Ray's Join hashes them into partitions that
+    then lack the key fields, so Acero fails with "No match for key
+    field …".  Block refs are filtered by METADATA only — nothing is
+    fetched to the driver."""
+    try:
+        refs = [
+            block_ref
+            for bundle in mds.iter_internal_ref_bundles()
+            for block_ref, meta in bundle.blocks
+            if meta.num_rows != 0
+        ]
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return mds
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
 def _joined_schema(
     left_schema: pa.Schema,
     right_schema: pa.Schema | None,
@@ -483,6 +508,11 @@ def hash_join(
             # schema unknown (schemaless empty) — legacy fallback;
             # result schema is the left side's only.
             return left.limit(0)
+        lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+        if lsch is not None:
+            left = _drop_empty_blocks(left, lsch)
+        if rsch is not None:
+            right = _drop_empty_blocks(right, rsch)
     return left.join(
         right,
         join_type=join_type,

@@ -235,3 +235,49 @@ def test_ngram_df_cap_bounds_hot_gram():
 
     default = inspect.signature(dedup.ngram_jaccard_pairs).parameters["df_cap"].default
     assert default is not None  # production default must stay finite
+
+
+def test_cross_ngram_contamination_matches_bruteforce():
+    """Containment = |grams(train) ∩ grams(eval)| / |grams(eval)| —
+    asymmetric: a long train doc fully containing a short eval doc
+    scores 1.0 where Jaccard would dilute it."""
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import hash64, ngram_set
+
+    train_texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "one two three four five six seven",
+        3: "unrelated words entirely different content here",
+    }
+    eval_texts = {
+        101: "alpha beta gamma delta",          # fully inside doc 1
+        102: "six seven eight nine ten",        # partial overlap with 2
+        103: "nothing shared with anything",
+    }
+    train = _docs(sorted(train_texts.items()))
+    ev = _docs(sorted(eval_texts.items()))
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.cross_ngram_contamination(
+            train, ev, threshold=0.2, df_cap=None
+        ).take_all()
+    }
+    want = {}
+    for t, tt in train_texts.items():
+        tg = {hash64(g) for g in ngram_set(tt, 3)}
+        for e, et in eval_texts.items():
+            eg = {hash64(g) for g in ngram_set(et, 3)}
+            c = len(tg & eg) / len(eg) if eg else 0.0
+            if c >= 0.2:
+                want[(t, e)] = c
+    assert got == want
+    assert got[(1, 101)] == 1.0  # full containment despite size mismatch
+
+
+def test_cross_ngram_contamination_df_cap_bounds_hot_gram():
+    hot = "the of and"
+    train = _docs([(i, f"{hot} t{i} u{i} v{i}") for i in range(30)])
+    ev = _docs([(100 + i, f"{hot} e{i} f{i} g{i}") for i in range(10)])
+    capped = dedup.cross_ngram_contamination(
+        train, ev, threshold=0.01, df_cap=5
+    ).take_all()
+    assert capped == []  # the only shared gram exceeded the cap on both sides
