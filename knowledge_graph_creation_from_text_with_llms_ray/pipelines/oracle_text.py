@@ -608,18 +608,19 @@ SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}
 """
 
 
-def repetition_sql() -> str:
+def repetition_sql(src: str = "documents") -> str:
     """Replica of ``analysis.repetition_profile`` + the integer keep
     rule: duplicate-line characters (every occurrence counted, non-empty
     ``\\n``-split lines), most-frequent word bigram coverage (ties →
-    lexicographically smallest), all emitted as BIGINTs."""
+    lexicographically smallest), all emitted as BIGINTs.  ``src`` is the
+    (doc_id, text) relation — a CTE name when composing."""
     toks = TOKENS.format(col="coalesce(text, '')")
     return f"""
 WITH lines AS (
   SELECT doc_id,
          unnest(list_filter(string_split(coalesce(text, ''), chr(10)),
                             l -> l <> '')) AS ln
-  FROM documents
+  FROM {src}
 ),
 line_stats AS (
   SELECT doc_id,
@@ -630,7 +631,7 @@ line_stats AS (
         FROM lines GROUP BY doc_id, ln)
   GROUP BY doc_id
 ),
-toks AS (SELECT doc_id, {toks} AS t FROM documents),
+toks AS (SELECT doc_id, {toks} AS t FROM {src}),
 bigrams AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
@@ -652,10 +653,41 @@ SELECT d.doc_id,
   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
   (coalesce(ls.dup_line_chars, 0) * 10 <= coalesce(ls.line_chars, 0) * 3
    AND coalesce(tb.top_bigram_chars, 0) * 5 <= length(coalesce(d.text, ''))) AS keep
-FROM documents d
+FROM {src} d
 LEFT JOIN line_stats ls USING (doc_id)
 LEFT JOIN top_bigram tb USING (doc_id)
 JOIN toks tk USING (doc_id)
+"""
+
+
+def curate_sql(weights: dict[str, int] | None = None) -> str:
+    """End-to-end curation replica: fingerprint-dedup winners (min id
+    per md5(text)) → repetition keep rule → deterministic split label.
+    Composes the per-stage oracles over a ``winners`` CTE."""
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    labels: list[str] = []
+    for name, w in weights.items():
+        labels.extend([name] * int(w))
+    total = len(labels)
+    cases = " ".join(
+        f"WHEN h % {total} = {i} THEN '{lab}'" for i, lab in enumerate(labels)
+    )
+    rep = repetition_sql(src="winners")
+    mix = mix32_subquery("doc_id", ["doc_id"], "winners")
+    return f"""
+WITH winners AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+rep AS (SELECT doc_id, keep FROM ({rep})),
+spl AS (SELECT doc_id, CASE {cases} END AS split FROM {mix})
+SELECT w.doc_id, s.split
+FROM winners w
+JOIN rep r ON r.doc_id = w.doc_id
+JOIN spl s ON s.doc_id = w.doc_id
+WHERE r.keep
 """
 
 

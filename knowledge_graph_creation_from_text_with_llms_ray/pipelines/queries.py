@@ -924,6 +924,20 @@ def q_dedup_contamination(sf_dir: str):
     return pairs.filter(expr="id_a != id_b")
 
 
+def q_corpus_curate(sf_dir: str):
+    """End-to-end corpus curation — the composition a training-data
+    pipeline ships: exact dedup (min-id winner per md5 fingerprint) →
+    Gopher repetition keep rule → deterministic train/val/test split.
+    Every stage streams; the only shuffle is the dedup groupby.
+    Value-exact against a composed SQL oracle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    winners = dedup.fingerprint_dedup(docs)
+    kept = analysis.repetition_stats(winners).filter(expr="keep == True")
+    return analysis.split_by_hash(kept).select_columns(["doc_id", "split"])
+
+
 def q_text_token_topk(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return analysis.token_topk(ds, k=20)
@@ -1438,6 +1452,7 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     out["dedup_contamination"] = oracle_text.contamination_sql(
         n=3, threshold=0.4, denom=7
     )
+    out["corpus_curate"] = oracle_text.curate_sql()
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
     out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
@@ -1528,6 +1543,7 @@ def queries():
         "rel_semijoin_bloom": q_rel_semijoin_bloom,
         "doc_split": q_doc_split,
         "dedup_contamination": q_dedup_contamination,
+        "corpus_curate": q_corpus_curate,
         # --- variant queries sharing an oracle with a twin above ---
         "kg_edges_shuffle": q_kg_edges_shuffle,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,

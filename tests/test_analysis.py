@@ -156,3 +156,42 @@ def test_split_by_hash_deterministic_and_layout_invariant():
     assert {r["split"] for r in c} == {"a", "b"}
     with pytest.raises(ValueError):
         analysis.split_by_hash(ray.data.from_arrow(ids), weights={"a": 0})
+
+
+def test_corpus_curate_composition():
+    """Dedup winner selection, repetition filter and split label compose
+    exactly: duplicates keep the min id, spammy docs drop, labels are
+    pure functions of the id."""
+    import ray.data as rd
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import dedup
+
+    spam = "buy now\n" * 30
+    long_a = " ".join(f"word{i}x" for i in range(20))
+    long_b = " ".join(f"term{i}y" for i in range(20))
+    texts = {
+        1: long_a,
+        2: long_a,  # dup of 1
+        3: spam,
+        4: long_b,
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    winners = dedup.fingerprint_dedup(ds)
+    kept = analysis.repetition_stats(winners).filter(expr="keep == True")
+    out = {r["doc_id"]: r["split"] for r in analysis.split_by_hash(kept).take_all()}
+    assert set(out) == {1, 4}  # 2 deduped away, 3 (spam) filtered
+    # the labels equal a direct split of the same ids (stable composition)
+    direct = {
+        r["doc_id"]: r["split"]
+        for r in analysis.split_by_hash(
+            rd.from_arrow(pa.table({"doc_id": pa.array([1, 4], pa.int64())}))
+        ).take_all()
+    }
+    assert out == direct
