@@ -26,6 +26,8 @@ MODE_ALIASES = {
     "generator": "generate",
     "integrate": "integrate",
     "integrator": "integrate",
+    # extension beyond the reference CLI: the corpus-curation pipeline
+    "curate": "curate",
 }
 
 

@@ -1,0 +1,139 @@
+"""Resumable corpus-curation pipeline: quality filter → split →
+global dedup, checkpointed per input shard.
+
+The second flagship composition (the first is the KG build in
+``kg.py``): what a training-data team runs over a raw document dump
+before tokenization.  Structure mirrors ``kg.run_checkpointed``:
+
+1. per-shard stage ``curated`` — PURE PER-ROW work (Gopher repetition
+   keep rule, deterministic split label, md5 fingerprint) written as
+   one parquet directory per input shard with a lineage manifest, so a
+   killed run reruns only the missing shards;
+2. global finalize — fingerprint dedup across all curated shards
+   through the slim (bodies-free) shuffle, written partitioned;
+   skipped entirely on a pure-resume rerun.
+
+The global dedup cannot be per-shard (duplicates cross shard
+boundaries); everything that CAN be per-shard is, because that is the
+resumable / embarrassingly-parallel part at 100 TB.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import ray
+import ray.data
+
+from ..stages import analysis, dedup
+from ..state import lineage
+
+
+def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
+    """Per-row curation of one shard: repetition stats + keep filter,
+    split label, md5 fingerprint.  No shuffle — safe at any shard
+    size."""
+    kept = analysis.repetition_stats(docs).filter(expr="keep == True")
+    split = analysis.split_by_hash(kept, weights=weights)
+    with_fp = split.map_batches(
+        dedup._fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": "text"}
+    )
+    return with_fp.select_columns(["doc_id", "text", "fingerprint", "split"])
+
+
+def run_curation(
+    input_path: str,
+    workdir: str,
+    weights: dict[str, int] | None = None,
+) -> dict:
+    """Resumable sharded curation run.  Returns a summary dict (shards
+    run / skipped, output path, row counts)."""
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet shards under {input_path}")
+
+    done = lineage.completed_shards(workdir, "curated")
+    ran, skipped = [], []
+    for i, f in enumerate(files):
+        if i in done:
+            skipped.append(i)
+            continue
+        t0 = time.time()
+        docs = ray.data.read_parquet(f, columns=["doc_id", "text"])
+        out_dir = lineage.shard_dir(workdir, "curated", i)
+        # clean stale partial output (uuid filenames append, not replace)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        curate_shard(docs, weights=weights).write_parquet(out_dir)
+        n_rows = ray.data.read_parquet(out_dir).count()
+        lineage.write_manifest(
+            workdir,
+            "curated",
+            i,
+            {
+                "input_file": f,
+                "rows": n_rows,
+                "wall_time_s": time.time() - t0,
+            },
+        )
+        ran.append(i)
+
+    man = lineage.load_manifest(workdir, "final", 0)
+    if not ran and man is not None and os.path.isdir(man["corpus_dir"]):
+        return {
+            "shards_ran": ran,
+            "shards_skipped": skipped,
+            "corpus_dir": man["corpus_dir"],
+            "rows": man["rows"],
+            "final_skipped": True,
+        }
+    t0 = time.time()
+    shard_files = []
+    for i in range(len(files)):
+        shard_files.extend(
+            sorted(
+                glob.glob(
+                    os.path.join(lineage.shard_dir(workdir, "curated", i), "*.parquet")
+                )
+            )
+        )
+    curated = ray.data.read_parquet(shard_files).materialize()
+    # global dedup through the slim (bodies-free) shuffle, on the
+    # fingerprints ALREADY computed per shard: (fingerprint, id) rows
+    # reduce to min-id winners, full rows recovered by a left_semi hash
+    # join — document bodies never enter the exchange
+    from ..stages.relational import bucketed_group_aggregate, hash_join
+
+    def _local_min(b):
+        return b.select(["doc_id", "fingerprint"]).group_by(
+            ["fingerprint"]
+        ).aggregate([("doc_id", "min")])
+
+    winners = bucketed_group_aggregate(
+        curated.map_batches(_local_min, batch_format="pyarrow"),
+        keys=["fingerprint"],
+        agg_specs=[("doc_id_min", "min")],
+        rename={"doc_id_min_min": "doc_id"},
+    ).select_columns(["doc_id"])
+    deduped = hash_join(
+        curated, winners, on=("doc_id",), join_type="left_semi"
+    ).select_columns(["doc_id", "text", "fingerprint", "split"])
+    corpus_dir = os.path.join(workdir, "corpus")
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    deduped.write_parquet(corpus_dir)
+    n_rows = ray.data.read_parquet(corpus_dir).count()
+    lineage.write_manifest(
+        workdir,
+        "final",
+        0,
+        {"corpus_dir": corpus_dir, "rows": n_rows, "wall_time_s": time.time() - t0},
+    )
+    return {
+        "shards_ran": ran,
+        "shards_skipped": skipped,
+        "corpus_dir": corpus_dir,
+        "rows": n_rows,
+    }

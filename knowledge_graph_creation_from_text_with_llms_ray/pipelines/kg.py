@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -147,6 +148,10 @@ def run_checkpointed(
         rollup, n_docs = _shard_rollup(stamped)
         linked = build_linked(stamped, dict_ref, cfg)
         out_dir = lineage.shard_dir(workdir, "linked", i)
+        # a killed run can leave PARTIAL shard output with no manifest;
+        # parquet filenames embed a per-run uuid, so writing into the
+        # stale dir would APPEND duplicates — clean before rewriting
+        shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         linked.write_parquet(out_dir)
         n_triples = ray.data.read_parquet(out_dir).count()
@@ -189,9 +194,11 @@ def run_checkpointed(
     linked_all = ray.data.read_parquet(shard_files)
     edges = materialize_edges(linked_all)
     edges_dir = os.path.join(workdir, "edges")
+    shutil.rmtree(edges_dir, ignore_errors=True)  # same uuid-append hazard
     edges.write_parquet(edges_dir)
     nodes = materialize_nodes(ray.data.read_parquet(edges_dir))
     nodes_dir = os.path.join(workdir, "nodes")
+    shutil.rmtree(nodes_dir, ignore_errors=True)
     nodes.write_parquet(nodes_dir)
     lineage.write_manifest(
         workdir,

@@ -124,6 +124,15 @@ def main(argv=None):
         write_turtle(et, os.path.join(cfg.workdir, "knowledge_graph.ttl"))
         return edges_dir
 
+    if mode == "curate":
+        import json
+
+        from .pipelines.curate import run_curation
+
+        summary = run_curation(cfg.input_path, cfg.workdir)
+        print(json.dumps(summary))
+        return summary
+
     raise ValueError(f"unknown mode {mode}")
 
 

@@ -74,3 +74,23 @@ def test_cli_full_run_and_phase_modes(tmp_path):
     a = sorted(zip(*(edges_full[c].to_pylist() for c in key)))
     b = sorted(zip(*(edges_phased[c].to_pylist() for c in key)))
     assert a == b
+
+
+def test_cli_curate_mode(tmp_path):
+    """--mode curate runs the resumable curation pipeline end to end
+    from the CLI (documents-table input)."""
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    per = (docs.num_rows + 1) // 2
+    for s in range(2):
+        pq.write_table(docs.slice(s * per, per), str(corpus / f"part-{s}.parquet"))
+    wd = str(tmp_path / "wd")
+    cfg = _write_cfg(tmp_path, str(corpus), wd)
+    summary = main(["--config", cfg, "--mode", "curate"])
+    assert summary["shards_ran"] == [0, 1]
+    out = pq.read_table(os.path.join(wd, "corpus"))
+    assert summary["rows"] == out.num_rows > 0
+    assert set(out.column_names) == {"doc_id", "text", "fingerprint", "split"}

@@ -67,3 +67,51 @@ def test_manifest_sha_rollup_matches_input(corpus_dir, tmp_path):
         expected = sha256_rollup(sha256_hex(c) for c in contents)
         assert man["content_sha256_rollup"] == expected
         assert man["docs"] == len(contents)
+
+
+def _read_corpus_rows(workdir):
+    t = pq.read_table(os.path.join(workdir, "corpus"))
+    return sorted(
+        zip(*(t[c].to_pylist() for c in ("doc_id", "fingerprint", "split")))
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_shards(tmp_path_factory):
+    """The documents table resharded into 4 files (the curation
+    pipeline's resume unit)."""
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    d = tmp_path_factory.mktemp("docshards")
+    per = (t.num_rows + 3) // 4
+    for s in range(4):
+        pq.write_table(t.slice(s * per, per), os.path.join(str(d), f"part-{s}.parquet"))
+    return str(d)
+
+
+def test_curation_run_and_resume(docs_shards, tmp_path):
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd")
+    s1 = run_curation(docs_shards, wd)
+    assert s1["shards_ran"] == [0, 1, 2, 3] and s1["shards_skipped"] == []
+    rows1 = _read_corpus_rows(wd)
+    assert 0 < len(rows1) == s1["rows"]
+    # global dedup really deduped: fingerprints unique in the output
+    fps = [r[1] for r in rows1]
+    assert len(fps) == len(set(fps))
+    # every row carries a split label
+    assert {r[2] for r in rows1} <= {"train", "val", "test"}
+
+    # pure resume: nothing reruns, final skipped, output unchanged
+    s2 = run_curation(docs_shards, wd)
+    assert s2["shards_ran"] == [] and s2["final_skipped"] is True
+    assert _read_corpus_rows(wd) == rows1
+
+    # drop one shard's manifest: exactly that shard reruns, final
+    # re-executes, output identical
+    os.remove(lineage.manifest_path(wd, "curated", 2))
+    s3 = run_curation(docs_shards, wd)
+    assert s3["shards_ran"] == [2] and s3["shards_skipped"] == [0, 1, 3]
+    assert _read_corpus_rows(wd) == rows1
