@@ -95,11 +95,12 @@ def run_headline() -> dict:
         best[name] = round(min(runs), 3)
         med[name] = round(statistics.median(runs), 3)
     # Auxiliary (NOT counted in `value`): the reworked dedup pipelines —
-    # MinHash-LSH with slim band shuffle + signature joins, and the
-    # exact distributed n-gram Jaccard.
+    # MinHash-LSH with slim band shuffle + signature joins, the exact
+    # distributed n-gram Jaccard — plus the round-3 curation
+    # composition and the cross-dataset decontamination sweep.
     aux: dict[str, float] = {}
     aux_median: dict[str, float] = {}
-    for name in ("dedup_minhash", "dedup_ngram"):
+    for name in ("dedup_minhash", "dedup_ngram", "corpus_curate", "dedup_contamination"):
         runs, rows[name] = _timed_runs(lambda: qs[name](SF_DIR), AUX_REPEATS)
         aux[name] = round(min(runs), 3)
         aux_median[name] = round(statistics.median(runs), 3)
