@@ -1008,6 +1008,19 @@ def q_rel_quantiles_tdigest(sf_dir: str):
     )
 
 
+def q_rel_quantiles_tdigest_grouped(sf_dir: str):
+    """Per-event-type approximate quantiles of the event value via the
+    grouped t-digest tree (per-(block,key) digests → bucketed merge →
+    per-key finalize) — rows-only for the driver; per-group rank-error
+    pinned ≤2% by tests incl. a 90%-hot-key distribution."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return relational.approx_quantiles_tdigest_grouped(
+        ds, keys=["event_type"], value_col="value", quantiles=[0.5, 0.9, 0.99]
+    )
+
+
 def q_text_langid(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
@@ -1544,6 +1557,7 @@ def queries():
         "doc_split": q_doc_split,
         "dedup_contamination": q_dedup_contamination,
         "corpus_curate": q_corpus_curate,
+        "rel_quantiles_tdigest_grouped": q_rel_quantiles_tdigest_grouped,
         # --- variant queries sharing an oracle with a twin above ---
         "kg_edges_shuffle": q_kg_edges_shuffle,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,

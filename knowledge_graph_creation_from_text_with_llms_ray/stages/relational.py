@@ -804,6 +804,102 @@ def approx_quantiles_tdigest(
     return merged.groupby("__final").map_groups(_finalize, batch_format="pyarrow")
 
 
+def approx_quantiles_tdigest_grouped(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    delta: int | None = None,
+    out_col: str = "value",
+) -> ray.data.Dataset:
+    """Per-key approximate quantiles via the mergeable t-digest — the
+    grouped companion to :func:`approx_quantiles_tdigest` (exact
+    per-key quantiles for bounded-cardinality values live in
+    :func:`grouped_quantiles`).
+
+    Tree: per-(block, key) digests → (key, block-hash bucket) merge —
+    bounds any hot key's per-task centroid pile at
+    O(delta × blocks/bucket) — → per-key final merge + interpolation.
+    Shuffle volume is O(delta × keys-per-block × blocks); row count
+    never appears.  Output: (keys…, q, out_col)."""
+    import numpy as np
+
+    from ..functions.sketch import TDIGEST_DELTA, tdigest_compress, tdigest_quantiles
+
+    delta = TDIGEST_DELTA if delta is None else delta
+    num_buckets = partitions_for(scale=0.25, minimum=4)
+
+    def _block_digests(batch: pa.Table) -> pa.Table:
+        cols: dict = {k: [] for k in keys}
+        means: list[np.ndarray] = []
+        counts: list[np.ndarray] = []
+        buckets: list[np.ndarray] = []
+        grouped = batch.select(keys + [value_col]).group_by(keys).aggregate(
+            [(value_col, "list")]
+        )
+        lists = grouped[f"{value_col}_list"]
+        for gi in range(grouped.num_rows):
+            vals = np.asarray(lists[gi].as_py(), dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            m, c = tdigest_compress(
+                vals, np.ones(len(vals), dtype=np.int64), delta
+            )
+            for k in keys:
+                cols[k].extend([grouped[k][gi].as_py()] * len(m))
+            means.append(m)
+            counts.append(c)
+            bits = m.view(np.uint64)
+            mixed = (bits ^ (bits >> np.uint64(33))) * np.uint64(
+                0xFF51AFD7ED558CCD
+            )
+            buckets.append((mixed % np.uint64(num_buckets)).astype(np.int32))
+        out = {k: pa.array(cols[k], batch[k].type) for k in keys}
+        out["__bucket"] = pa.array(
+            np.concatenate(buckets) if buckets else np.array([], np.int32)
+        )
+        out["mean"] = pa.array(
+            np.concatenate(means) if means else np.array([], np.float64)
+        )
+        out["count"] = pa.array(
+            np.concatenate(counts) if counts else np.array([], np.int64)
+        )
+        return pa.table(out)
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        m, c = tdigest_compress(
+            group["mean"].to_numpy(zero_copy_only=False),
+            group["count"].to_numpy(zero_copy_only=False),
+            delta,
+        )
+        out = {k: pa.array([group[k][0].as_py()] * len(m), group[k].type) for k in keys}
+        out["mean"] = pa.array(m)
+        out["count"] = pa.array(c)
+        return pa.table(out)
+
+    def _finalize(group: pa.Table) -> pa.Table:
+        m, c = tdigest_compress(
+            group["mean"].to_numpy(zero_copy_only=False),
+            group["count"].to_numpy(zero_copy_only=False),
+            delta,
+        )
+        est = tdigest_quantiles(m, c, quantiles)
+        out = {
+            k: pa.array([group[k][0].as_py()] * len(quantiles), group[k].type)
+            for k in keys
+        }
+        out["q"] = pa.array(quantiles, pa.float64())
+        out[out_col] = pa.array(est, pa.float64())
+        return pa.table(out)
+
+    digests = ds.map_batches(
+        _block_digests, batch_format="pyarrow", batch_size=None
+    )
+    merged = digests.groupby(keys + ["__bucket"]).map_groups(
+        _merge_bucket, batch_format="pyarrow"
+    )
+    return merged.groupby(keys).map_groups(_finalize, batch_format="pyarrow")
+
+
 def approx_distinct_registers(
     ds: ray.data.Dataset, col: str, p: int | None = None
 ) -> ray.data.Dataset:

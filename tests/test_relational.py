@@ -345,3 +345,30 @@ def test_bloom_semi_join_empty_right():
         ).count()
         == 2
     )
+
+
+def test_tdigest_grouped_rank_accuracy():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # skewed groups: one key holds 90% of rows, different distributions
+    n = 30_000
+    hot = rng.rand(n) < 0.9
+    keys = np.where(hot, "hot", "cold")
+    vals = np.where(hot, rng.lognormal(0, 1.0, n), rng.uniform(50, 60, n))
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals, pa.float64())})
+    ).repartition(16)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = {
+        (r["k"], round(r["q"], 4)): r["value"]
+        for r in relational.approx_quantiles_tdigest_grouped(
+            ds, keys=["k"], value_col="v", quantiles=qs
+        ).take_all()
+    }
+    for k in ("hot", "cold"):
+        sub = vals[keys == k]
+        for q in qs:
+            est = out[(k, round(q, 4))]
+            true_rank = float(np.mean(sub <= est))
+            assert abs(true_rank - q) <= 0.02, (k, q, est, true_rank)
