@@ -59,8 +59,14 @@ def run_curation(
     ran, skipped = [], []
     for i, f in enumerate(files):
         if i in done:
-            skipped.append(i)
-            continue
+            # shard indices are positional: if the input shard SET
+            # changed (a file added/renamed re-sorts the glob), a stale
+            # manifest would silently skip the WRONG file — validate
+            # the recorded input path and rerun on mismatch
+            man = lineage.load_manifest(workdir, "curated", i)
+            if man is not None and man.get("input_file") == f:
+                skipped.append(i)
+                continue
         t0 = time.time()
         docs = ray.data.read_parquet(f, columns=["doc_id", "text"])
         out_dir = lineage.shard_dir(workdir, "curated", i)

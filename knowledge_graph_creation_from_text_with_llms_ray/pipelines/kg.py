@@ -141,8 +141,13 @@ def run_checkpointed(
     ran, skipped = [], []
     for i, f in enumerate(files):
         if i in done:
-            skipped.append(i)
-            continue
+            # positional shard ids: validate the manifest's recorded
+            # input file so a changed shard set reruns instead of
+            # silently skipping the wrong file
+            man = lineage.load_manifest(workdir, "linked", i)
+            if man is not None and man.get("input_file") == f:
+                skipped.append(i)
+                continue
         t0 = time.time()
         stamped = stamp_sha256(read_corpus(f)).materialize()  # one shard, bounded
         rollup, n_docs = _shard_rollup(stamped)

@@ -664,14 +664,6 @@ def curate_sql(weights: dict[str, int] | None = None) -> str:
     """End-to-end curation replica: fingerprint-dedup winners (min id
     per md5(text)) → repetition keep rule → deterministic split label.
     Composes the per-stage oracles over a ``winners`` CTE."""
-    weights = weights or {"train": 8, "val": 1, "test": 1}
-    labels: list[str] = []
-    for name, w in weights.items():
-        labels.extend([name] * int(w))
-    total = len(labels)
-    cases = " ".join(
-        f"WHEN h % {total} = {i} THEN '{lab}'" for i, lab in enumerate(labels)
-    )
     rep = repetition_sql(src="winners")
     mix = mix32_subquery("doc_id", ["doc_id"], "winners")
     return f"""
@@ -682,7 +674,7 @@ WITH winners AS (
     FROM documents) WHERE rn = 1
 ),
 rep AS (SELECT doc_id, keep FROM ({rep})),
-spl AS (SELECT doc_id, CASE {cases} END AS split FROM {mix})
+spl AS (SELECT doc_id, {_split_case_expr(weights)} AS split FROM {mix})
 SELECT w.doc_id, s.split
 FROM winners w
 JOIN rep r ON r.doc_id = w.doc_id
@@ -705,9 +697,10 @@ def mix32_subquery(id_expr: str, carry_cols: list[str], src: str) -> str:
         FROM {src}))))"""
 
 
-def split_sql(weights: dict[str, int] | None = None) -> str:
-    """Replica of ``analysis.split_by_hash``: mix32(id) % total indexes
-    the label list built from the weights in insertion order."""
+def _split_case_expr(weights: dict[str, int] | None) -> str:
+    """The CASE expression mapping ``h % total`` to split labels —
+    SHARED by ``split_sql`` and ``curate_sql`` so the two oracles can
+    never disagree on the encoding."""
     weights = weights or {"train": 8, "val": 1, "test": 1}
     labels: list[str] = []
     for name, w in weights.items():
@@ -716,8 +709,16 @@ def split_sql(weights: dict[str, int] | None = None) -> str:
     cases = " ".join(
         f"WHEN h % {total} = {i} THEN '{lab}'" for i, lab in enumerate(labels)
     )
+    return f"CASE {cases} END"
+
+
+def split_sql(weights: dict[str, int] | None = None) -> str:
+    """Replica of ``analysis.split_by_hash``: mix32(id) % total indexes
+    the label list built from the weights in insertion order."""
     inner = mix32_subquery("doc_id", ["doc_id", "lang"], "documents")
-    return f"SELECT doc_id, lang, CASE {cases} END AS split FROM {inner}"
+    return (
+        f"SELECT doc_id, lang, {_split_case_expr(weights)} AS split FROM {inner}"
+    )
 
 
 def sample_hash_sql(denom: int = 7) -> str:

@@ -444,9 +444,19 @@ def _joined_schema(
     if join_type in ("left_semi", "left_anti") or right_schema is None:
         return left_schema
     rkeys = set(right_on or on)
-    return pa.schema(
-        list(left_schema) + [f for f in right_schema if f.name not in rkeys]
-    )
+    fields = list(left_schema) + [f for f in right_schema if f.name not in rkeys]
+    names = [f.name for f in fields]
+    if len(names) != len(set(names)):
+        # this wrapper passes no suffixes to Dataset.join, so a shared
+        # non-key column name is ambiguous on the real path too — fail
+        # the same way on the short-circuit path
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"hash_join: non-key column names {dupes} exist on both "
+            f"sides; rename or drop before joining (suffixes are not "
+            f"supported by this wrapper)"
+        )
+    return pa.schema(fields)
 
 
 def hash_join(
@@ -458,18 +468,22 @@ def hash_join(
     num_partitions: int | None = None,
     stepwise: bool = True,
 ) -> ray.data.Dataset:
-    """Shuffle hash join wrapper around ``Dataset.join`` (all Acero
-    join types incl. ``left_semi``/``left_anti``) with the tiny-cluster
-    mitigations this repo standardizes on: materialize the inputs first
-    (``stepwise=True``) so the join's aggregator actors start with free
-    CPUs — stacked lazy joins deadlock below ~8 CPUs when each join's
-    aggregators issue ``request_resources`` concurrently.  On a real
-    cluster pass ``stepwise=False`` and let the joins pipeline.
+    """Shuffle hash join wrapper around ``Dataset.join`` with the
+    tiny-cluster mitigations this repo standardizes on: materialize the
+    inputs first (``stepwise=True``) so the join's aggregator actors
+    start with free CPUs — stacked lazy joins deadlock below ~8 CPUs
+    when each join's aggregators issue ``request_resources``
+    concurrently.  On a real cluster pass ``stepwise=False`` and let
+    the joins pipeline.
 
     Empty inputs short-circuit (Ray's Join builds schema-less empty
     partition tables when an input has zero blocks and Acero then fails
     to find the key fields) — the short-circuit result carries the FULL
-    joined schema, not just the left side's."""
+    joined schema, not just the left side's.  The short-circuit is
+    implemented for ``inner`` / ``left_semi`` / ``left_anti`` /
+    ``left_outer``; the right/full outer variants pass through when
+    both inputs are non-empty and raise LOUDLY (never a silent empty)
+    when one is empty."""
     if num_partitions is None:
         # join aggregators each pin a CPU — a fraction of the cluster,
         # not one per core, or they starve the upstream map stages
@@ -505,9 +519,20 @@ def hash_join(
                 return left.map_batches(
                     _nulls, batch_format="pyarrow", batch_size=None
                 )
-            # schema unknown (schemaless empty) — legacy fallback;
-            # result schema is the left side's only.
-            return left.limit(0)
+            if join_type in ("inner", "left_semi", "left_anti"):
+                # an empty result is CORRECT here (anti with non-empty
+                # left already returned above); only the schema is
+                # degraded because the empty input carried none
+                return left.limit(0)
+            # A silent empty would be WRONG for the outer-join family
+            # (full_outer with one empty side must still emit the other
+            # side's rows; schemaless left_outer can't build its null
+            # columns) — fail loudly instead of returning a wrong result.
+            raise ValueError(
+                f"hash_join: empty-input short-circuit not implemented "
+                f"for join_type={join_type!r} (or input schema is "
+                f"unrecoverable); handle the empty case at the call site"
+            )
         lsch, rsch = _arrow_schema(left), _arrow_schema(right)
         if lsch is not None:
             left = _drop_empty_blocks(left, lsch)
@@ -632,19 +657,27 @@ def bloom_semi_join(
     right_on = right_on or on
     n_words = (m_bits + 63) // 64
 
-    def _bit_positions(batch: pa.Table) -> pa.Table:
-        vals = batch[right_on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    def _probes(vals):
+        """The k double-hashed bit positions per value (shared by the
+        build and both filter directions — ONE implementation)."""
         x = vals.astype(np.uint64)
         h1 = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
         h2 = _mix32(h1 ^ np.uint64(0x9E3779B9)) | np.uint64(1)  # odd stride
-        pos = np.unique(
-            np.concatenate(
-                [
-                    (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-                    for i in range(n_hashes)
-                ]
-            )
-        )
+        return [
+            (h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(n_hashes)
+        ]
+
+    def _hit_mask(vals, f):
+        hit = np.ones(len(vals), dtype=bool)
+        for p in _probes(vals):
+            hit &= (
+                f[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))
+            ) & np.uint64(1) != 0
+        return hit
+
+    def _bit_positions(batch: pa.Table) -> pa.Table:
+        vals = batch[right_on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.unique(np.concatenate(_probes(vals)))
         return pa.table({"bit": pa.array(pos.astype(np.int64))})
 
     bits_ds = distinct(
@@ -670,15 +703,7 @@ def bloom_semi_join(
     def _prefilter(batch: pa.Table) -> pa.Table:
         f = ray.get(filt_ref) if isinstance(filt_ref, ray.ObjectRef) else filt_ref
         vals = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        x = vals.astype(np.uint64)
-        h1 = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
-        h2 = _mix32(h1 ^ np.uint64(0x9E3779B9)) | np.uint64(1)  # odd stride
-        hit = np.ones(len(x), dtype=bool)
-        for i in range(n_hashes):
-            p = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-            hit &= (f[(p >> np.uint64(6)).astype(np.int64)]
-                    >> (p & np.uint64(63))) & np.uint64(1) != 0
-        return batch.filter(pa.array(hit))
+        return batch.filter(pa.array(_hit_mask(vals, f)))
 
     candidates = left.map_batches(
         _prefilter, batch_format="pyarrow", batch_size=None
@@ -692,15 +717,7 @@ def bloom_semi_join(
         def _prefilter_miss(batch: pa.Table) -> pa.Table:
             f = ray.get(filt_ref) if isinstance(filt_ref, ray.ObjectRef) else filt_ref
             vals = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            x = vals.astype(np.uint64)
-            h1 = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
-            h2 = _mix32(h1 ^ np.uint64(0x9E3779B9)) | np.uint64(1)  # odd stride
-            hit = np.ones(len(x), dtype=bool)
-            for i in range(n_hashes):
-                p = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-                hit &= (f[(p >> np.uint64(6)).astype(np.int64)]
-                        >> (p & np.uint64(63))) & np.uint64(1) != 0
-            return batch.filter(pa.array(~hit))
+            return batch.filter(pa.array(~_hit_mask(vals, f)))
 
         misses = left.map_batches(
             _prefilter_miss, batch_format="pyarrow", batch_size=None

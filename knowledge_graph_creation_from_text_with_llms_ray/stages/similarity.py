@@ -59,8 +59,12 @@ def _final_topk(group: pa.Table, k: int) -> pa.Table:
 
 # Per-worker cache of the normalized query matrix, keyed by the
 # broadcast object id — task-pool economics (no actor startup latency)
-# with broadcast-actor semantics; worker processes persist across tasks.
-_QUERIES_CACHE: dict[str, tuple[list, np.ndarray]] = {}
+# with broadcast-actor semantics; worker processes persist across
+# tasks.  Bounded (oldest evicted) so repeated KNN calls don't grow
+# worker RSS without limit; each entry pins the SOURCE object so a
+# recycled id() can never alias a different query set.
+_QUERIES_CACHE: dict[str, tuple[object, list, np.ndarray]] = {}
+_QUERIES_CACHE_MAX = 4
 
 
 def _get_queries(queries_ref) -> tuple[list, np.ndarray]:
@@ -70,15 +74,24 @@ def _get_queries(queries_ref) -> tuple[list, np.ndarray]:
         else str(id(queries_ref))
     )
     cached = _QUERIES_CACHE.get(key)
-    if cached is None:
-        q = (
-            ray.get(queries_ref)
-            if isinstance(queries_ref, ray.ObjectRef)
-            else queries_ref
-        )
-        cached = (q["query_id"], _unit(np.asarray(q["matrix"], dtype=np.float32)))
-        _QUERIES_CACHE[key] = cached
-    return cached
+    if cached is not None and (
+        isinstance(queries_ref, ray.ObjectRef) or cached[0] is queries_ref
+    ):
+        return cached[1], cached[2]
+    q = (
+        ray.get(queries_ref)
+        if isinstance(queries_ref, ray.ObjectRef)
+        else queries_ref
+    )
+    entry = (
+        queries_ref,
+        q["query_id"],
+        _unit(np.asarray(q["matrix"], dtype=np.float32)),
+    )
+    while len(_QUERIES_CACHE) >= _QUERIES_CACHE_MAX:
+        _QUERIES_CACHE.pop(next(iter(_QUERIES_CACHE)))
+    _QUERIES_CACHE[key] = entry
+    return entry[1], entry[2]
 
 
 def _brute_force_score(
@@ -116,15 +129,17 @@ def knn_brute_force(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency: int | tuple | None = None,  # unused; kept for API compat
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     queries_ref = ray.put({"query_id": list(query_ids), "matrix": query_matrix})
     # task pool (not an actor pool): per-worker query-matrix cache gives
     # broadcast-actor economics without actor startup, and scheduling
-    # stays elastic next to other stages
+    # stays elastic next to other stages.  ``concurrency`` still caps
+    # concurrent scoring tasks when the caller asks for a bound.
     partials = ds.map_batches(
         _brute_force_score,
         batch_format="pyarrow",
+        concurrency=concurrency,
         fn_kwargs={
             "queries_ref": queries_ref,
             "vec_col": vec_col,

@@ -115,3 +115,35 @@ def test_curation_run_and_resume(docs_shards, tmp_path):
     s3 = run_curation(docs_shards, wd)
     assert s3["shards_ran"] == [2] and s3["shards_skipped"] == [0, 1, 3]
     assert _read_corpus_rows(wd) == rows1
+
+
+def test_curation_rerun_on_input_set_change(docs_shards, tmp_path):
+    """Positional shard ids: if the input file SET changes, stale
+    manifests must NOT silently skip the wrong file."""
+    import shutil as _sh
+
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    src = tmp_path / "docs2"
+    _sh.copytree(docs_shards, src)
+    wd = str(tmp_path / "cwd2")
+    run_curation(str(src), wd)
+    n0 = len(_read_corpus_rows(wd))
+    # a new file that sorts FIRST shifts every positional index; its
+    # docs carry fresh ids but duplicate TEXTS of an existing shard
+    import pyarrow.compute as pc
+
+    first = sorted(os.listdir(src))[0]
+    t = pq.read_table(os.path.join(str(src), first))
+    dup = t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(t["doc_id"], 100_000),
+    )
+    pq.write_table(dup, os.path.join(str(src), "aaa-new.parquet"))
+    s = run_curation(str(src), wd)
+    # every shard's manifest input_file mismatches -> all rerun
+    assert s["shards_ran"] == [0, 1, 2, 3, 4]
+    # content still correct: the new docs are text-duplicates with
+    # LARGER ids, so global dedup keeps exactly the original winners
+    assert len(_read_corpus_rows(wd)) == n0
