@@ -129,7 +129,9 @@ def run_curation(
     ).select_columns(["doc_id", "text", "fingerprint", "split"])
     corpus_dir = os.path.join(workdir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)
-    deduped.write_parquet(corpus_dir)
+    # hive-partitioned by split: a trainer reads corpus/split=train/
+    # without touching val/test files (partition pruning at the read)
+    deduped.write_parquet(corpus_dir, partition_cols=["split"])
     n_rows = ray.data.read_parquet(corpus_dir).count()
     lineage.write_manifest(
         workdir,

@@ -147,3 +147,17 @@ def test_curation_rerun_on_input_set_change(docs_shards, tmp_path):
     # content still correct: the new docs are text-duplicates with
     # LARGER ids, so global dedup keeps exactly the original winners
     assert len(_read_corpus_rows(wd)) == n0
+
+
+def test_curation_output_is_split_partitioned(docs_shards, tmp_path):
+    """The curated corpus is hive-partitioned by split so a trainer
+    reads corpus/split=train/ with partition pruning."""
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd3")
+    run_curation(docs_shards, wd)
+    subdirs = sorted(os.listdir(os.path.join(wd, "corpus")))
+    assert all(d.startswith("split=") for d in subdirs)
+    assert "split=train" in subdirs
+    train = pq.read_table(os.path.join(wd, "corpus", "split=train"))
+    assert train.num_rows > 0 and "doc_id" in train.column_names
