@@ -316,3 +316,37 @@ def test_repetition_oracle_parity(texts):
         ) == (dup, tot, topg, nbg, nch), (t,)
         keep = dup * 10 <= tot * 3 and topg * 5 <= nch
         assert bool(row["keep"]) == keep, (t,)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_WS_TEXTS)
+def test_contamination_oracle_parity(texts):
+    """contamination_sql must equal the Python containment computation
+    (eval set = mix32 % 7 == 0 sample, identity pairs excluded) on
+    arbitrary documents."""
+    import numpy as np
+
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import _mix32
+
+    threshold = 0.3
+    con = _con(texts)
+    df = con.execute(
+        oracle_text.contamination_sql(n=3, threshold=threshold, denom=7)
+    ).fetchdf()
+    got = {(r.id_a, r.id_b): r.containment for r in df.itertuples()}
+    ids = np.arange(len(texts), dtype=np.uint64)
+    h = _mix32((ids & np.uint64(0xFFFFFFFF)) ^ (ids >> np.uint64(32)))
+    eval_ids = set(np.flatnonzero(h % np.uint64(7) == 0).tolist())
+    gsets = {i: {hash64(g) for g in ngram_set(t, 3)} for i, t in enumerate(texts)}
+    want = {}
+    for a in range(len(texts)):
+        for b in eval_ids:
+            if a == b or not gsets[b]:
+                continue
+            inter = len(gsets[a] & gsets[b])
+            if inter == 0:
+                continue
+            c = inter / len(gsets[b])
+            if c >= threshold:
+                want[(a, b)] = c
+    assert got == want, texts
