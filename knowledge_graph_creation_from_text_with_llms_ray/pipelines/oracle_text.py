@@ -339,6 +339,33 @@ SELECT id_a, id_b, containment FROM cont WHERE containment >= {threshold}
 """
 
 
+def token_windows_sql(size: int = 128, stride: int = 64) -> str:
+    """Replica of ``analysis.token_windows``: full windows every
+    ``stride`` plus the aligned tail window; short docs get one
+    window; windows rejoin with single spaces."""
+    toks = TOKENS.format(col="coalesce(text, '')")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(list_sort(list_distinct(list_append(
+             CASE WHEN len(t) <= {size} THEN [0]
+                  ELSE range(0, len(t) - {size} + 1, {stride}) END,
+             greatest(len(t) - {size}, 0))))) AS start
+  FROM tk WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS BIGINT)
+         AS win_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least(len(t) - start, {size}) AS BIGINT) AS n_tokens,
+       array_to_string(t[start + 1:start + {size}], ' ') AS window_text
+FROM starts
+"""
+
+
 def _components_ctes(n: int, threshold: float) -> str:
     """Shared recursive-reachability CTE chain over the exact n-gram
     pairs; exposes ``comp(node, component)``."""

@@ -958,6 +958,14 @@ def q_doc_sample_stratified(sf_dir: str):
     return analysis.stratified_sample_k(ds, key="lang", id_col="doc_id", k=3)
 
 
+def q_text_windows(sf_dir: str):
+    """Fixed-size overlapping token windows (context-window chunking
+    for LM sequence prep): full windows every stride plus an aligned
+    tail window so no token drops.  Zero shuffle; value-exact oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analysis.token_windows(ds, size=64, stride=48)
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment — membership is
     a pure function of the id (stable across runs/layouts/resumes), the
@@ -1466,6 +1474,7 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
         n=3, threshold=0.4, denom=7
     )
     out["corpus_curate"] = oracle_text.curate_sql()
+    out["text_windows"] = oracle_text.token_windows_sql(size=64, stride=48)
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
     out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
@@ -1558,6 +1567,7 @@ def queries():
         "dedup_contamination": q_dedup_contamination,
         "corpus_curate": q_corpus_curate,
         "rel_quantiles_tdigest_grouped": q_rel_quantiles_tdigest_grouped,
+        "text_windows": q_text_windows,
         # --- variant queries sharing an oracle with a twin above ---
         "kg_edges_shuffle": q_kg_edges_shuffle,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,

@@ -271,6 +271,66 @@ def sample_by_hash(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def token_window_spans(n_tokens: int, size: int, stride: int) -> list[int]:
+    """Window start offsets for one document: full windows every
+    ``stride`` tokens plus an aligned tail window so no token is ever
+    dropped; short docs (≤ size tokens) get exactly one window."""
+    if n_tokens <= 0:
+        return []
+    if n_tokens <= size:
+        return [0]
+    last = n_tokens - size
+    starts = list(range(0, last + 1, stride))
+    if starts[-1] != last:
+        starts.append(last)  # tail window, overlapping the previous one
+    return starts
+
+
+def token_windows(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 64,
+) -> ray.data.Dataset:
+    """Overlapping fixed-size token windows per document — the
+    context-window chunking step that turns curated documents into
+    LM training samples.  Tokens are Python ``str.split()`` words
+    (matching the oracle's TOKENS class), windows rejoin with single
+    spaces.  Pure per-row flat map: zero shuffle, streams at read
+    speed; output rows ≈ rows × (n_tokens/stride).
+
+    Output: (id, win_id, start, n_tokens, window_text) with ``win_id``
+    0-based per document in start order."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        out_ids, out_win, out_start, out_n, out_text = [], [], [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = (t or "").split()
+            for w, s in enumerate(token_window_spans(len(toks), size, stride)):
+                win = toks[s : s + size]
+                out_ids.append(i)
+                out_win.append(w)
+                out_start.append(s)
+                out_n.append(len(win))
+                out_text.append(" ".join(win))
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, batch[id_col].type),
+                "win_id": pa.array(out_win, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "window_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
 def split_by_hash(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

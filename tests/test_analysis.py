@@ -195,3 +195,34 @@ def test_corpus_curate_composition():
         ).take_all()
     }
     assert out == direct
+
+
+def test_token_window_spans_rules():
+    from knowledge_graph_creation_from_text_with_llms_ray.stages.analysis import token_window_spans
+
+    assert token_window_spans(0, 8, 4) == []
+    assert token_window_spans(5, 8, 4) == [0]       # short doc: one window
+    assert token_window_spans(8, 8, 4) == [0]       # exact fit
+    assert token_window_spans(12, 8, 4) == [0, 4]   # aligned
+    assert token_window_spans(13, 8, 4) == [0, 4, 5]  # tail window appended
+    assert token_window_spans(20, 8, 4) == [0, 4, 8, 12]
+
+
+def test_token_windows_cover_all_tokens():
+    import pytest
+
+    text = " ".join(f"w{i}" for i in range(20))
+    ds = _docs([text])
+    rows = analysis.token_windows(ds, size=8, stride=4).take_all()
+    # every token appears in at least one window
+    seen = set()
+    for r in rows:
+        assert r["n_tokens"] == len(r["window_text"].split())
+        seen.update(r["window_text"].split())
+    assert seen == {f"w{i}" for i in range(20)}
+    # win_id dense per doc in start order
+    assert [r["win_id"] for r in sorted(rows, key=lambda r: r["start"])] == list(
+        range(len(rows))
+    )
+    with pytest.raises(ValueError):
+        analysis.token_windows(ds, size=0)

@@ -350,3 +350,26 @@ def test_contamination_oracle_parity(texts):
             if c >= threshold:
                 want[(a, b)] = c
     assert got == want, texts
+
+
+@settings(max_examples=15, deadline=None)
+@given(_WS_TEXTS)
+def test_token_windows_oracle_parity(texts):
+    from knowledge_graph_creation_from_text_with_llms_ray.stages.analysis import (
+        token_window_spans,
+    )
+
+    size, stride = 5, 3
+    con = _con(texts)
+    df = con.execute(oracle_text.token_windows_sql(size=size, stride=stride)).fetchdf()
+    got = {
+        (r.doc_id, r.win_id): (r.start, r.n_tokens, r.window_text)
+        for r in df.itertuples()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        for w, s in enumerate(token_window_spans(len(toks), size, stride)):
+            win = toks[s : s + size]
+            want[(i, w)] = (s, len(win), " ".join(win))
+    assert got == want, texts
