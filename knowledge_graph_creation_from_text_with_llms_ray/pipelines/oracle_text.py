@@ -366,6 +366,31 @@ FROM starts
 """
 
 
+def pack_windows_sql(
+    size: int = 64, stride: int = 48, budget: int = 512, num_buckets: int = 4
+) -> str:
+    """Replica of ``analysis.pack_windows`` over ``token_windows``
+    output: mix32 doc-id bucket, per-bucket (doc_id, win_id) order,
+    pack = cumulative-tokens-before // budget."""
+    win = token_windows_sql(size=size, stride=stride)
+    mix = mix32_subquery(
+        "doc_id", ["doc_id", "win_id", "n_tokens"], "win"
+    )
+    return f"""
+WITH win AS ({win}),
+bucketed AS (
+  SELECT doc_id, win_id, n_tokens, CAST(h % {num_buckets} AS INTEGER) AS pack_bucket
+  FROM {mix}
+)
+SELECT doc_id, win_id, n_tokens, pack_bucket,
+       CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY pack_bucket ORDER BY doc_id, win_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {budget} AS BIGINT) AS pack_id
+FROM bucketed
+"""
+
+
 def _components_ctes(n: int, threshold: float) -> str:
     """Shared recursive-reachability CTE chain over the exact n-gram
     pairs; exposes ``comp(node, component)``."""

@@ -966,6 +966,19 @@ def q_text_windows(sf_dir: str):
     return analysis.token_windows(ds, size=64, stride=48)
 
 
+def q_text_packs(sf_dir: str):
+    """Sequence packing over the token windows: fixed-token-budget
+    packs, embarrassingly parallel across mix32 doc-id buckets,
+    deterministic (layout-independent) — verified value-exact by a SQL
+    window-function oracle.  num_buckets pinned so both engines hash
+    into the same buckets."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    wins = analysis.token_windows(ds, size=64, stride=48)
+    return analysis.pack_windows(
+        wins, budget=512, num_buckets=4
+    ).select_columns(["doc_id", "win_id", "n_tokens", "pack_bucket", "pack_id"])
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment — membership is
     a pure function of the id (stable across runs/layouts/resumes), the
@@ -1475,6 +1488,9 @@ FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) 
     )
     out["corpus_curate"] = oracle_text.curate_sql()
     out["text_windows"] = oracle_text.token_windows_sql(size=64, stride=48)
+    out["text_packs"] = oracle_text.pack_windows_sql(
+        size=64, stride=48, budget=512, num_buckets=4
+    )
     out["doc_sample_hash"] = oracle_text.sample_hash_sql(denom=7)
     out["doc_sample_stratified"] = oracle_text.stratified_sample_sql(key="lang", k=3)
     out["rel_hll_custkey"] = oracle_text.hll_registers_sql(
@@ -1568,6 +1584,7 @@ def queries():
         "corpus_curate": q_corpus_curate,
         "rel_quantiles_tdigest_grouped": q_rel_quantiles_tdigest_grouped,
         "text_windows": q_text_windows,
+        "text_packs": q_text_packs,
         # --- variant queries sharing an oracle with a twin above ---
         "kg_edges_shuffle": q_kg_edges_shuffle,
         "rel_sessionize_chunked": q_rel_sessionize_chunked,

@@ -331,6 +331,71 @@ def token_windows(
     return ds.map_batches(_explode, batch_format="pyarrow")
 
 
+def pack_windows(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    win_col: str = "win_id",
+    tokens_col: str = "n_tokens",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic sequence packing: assign token windows to
+    fixed-token-budget packs (the batch-construction step after
+    :func:`token_windows`).
+
+    Windows bucket by a hash of the doc id (packing is embarrassingly
+    parallel across buckets); within a bucket they order by
+    (doc id, window id) and a window joins pack
+    ``cumulative_tokens_before // budget`` — contiguous packing, so a
+    pack's total is ``budget ± one window`` (LM loaders truncate/pad
+    the remainder).  The rule is a pure function of the sorted window
+    list: output is independent of block layout and cluster size, and
+    an exact SQL window-function oracle verifies it.
+
+    Output: input columns + (pack_bucket, pack_id) with ``pack_id``
+    dense per bucket."""
+    import numpy as np
+
+    from .relational import partitions_for
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_buckets is None:
+        num_buckets = partitions_for(scale=0.25, minimum=4)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import _mix32
+
+        x = (
+            batch[id_col]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        # the repo's mix32 id-hash convention: exact BIGINT arithmetic,
+        # so the SQL oracle replicates the bucket assignment bit-for-bit
+        h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
+        return batch.append_column(
+            "pack_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def _pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(id_col, "ascending"), (win_col, "ascending")]
+        )
+        g = group.take(order)
+        toks = np.asarray(g[tokens_col], dtype=np.int64)
+        before = np.concatenate(([0], np.cumsum(toks)[:-1]))
+        return g.append_column(
+            "pack_id", pa.array(before // budget, pa.int64())
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+    return bucketed.groupby("pack_bucket").map_groups(
+        _pack, batch_format="pyarrow"
+    )
+
+
 def split_by_hash(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -226,3 +226,44 @@ def test_token_windows_cover_all_tokens():
     )
     with pytest.raises(ValueError):
         analysis.token_windows(ds, size=0)
+
+
+def test_pack_windows_budget_and_layout_invariance():
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    # 200 windows of 10 tokens, many docs
+    t = pa.table(
+        {
+            "doc_id": pa.array([i // 4 for i in range(200)], pa.int64()),
+            "win_id": pa.array([i % 4 for i in range(200)], pa.int64()),
+            "n_tokens": pa.array([10] * 200, pa.int64()),
+        }
+    )
+    out1 = sorted(
+        (r["doc_id"], r["win_id"], r["pack_bucket"], r["pack_id"])
+        for r in analysis.pack_windows(
+            rd.from_arrow(t), budget=50, num_buckets=4
+        ).take_all()
+    )
+    out2 = sorted(
+        (r["doc_id"], r["win_id"], r["pack_bucket"], r["pack_id"])
+        for r in analysis.pack_windows(
+            rd.from_arrow(t).repartition(9), budget=50, num_buckets=4
+        ).take_all()
+    )
+    assert out1 == out2  # layout cannot move a window between packs
+    # pack totals: contiguous packing keeps every pack within
+    # budget ± one window
+    totals: dict = {}
+    for _d, _w, b, p in out1:
+        totals[(b, p)] = totals.get((b, p), 0) + 10
+    assert all(v <= 50 + 10 for v in totals.values())
+    # all but each bucket's last pack are at least the budget
+    last = {b: max(p for bb, p in totals if bb == b) for b, _ in totals}
+    assert all(
+        v >= 50 for (b, p), v in totals.items() if p != last[b]
+    )
+    with pytest.raises(ValueError):
+        analysis.pack_windows(rd.from_arrow(t), budget=0)
