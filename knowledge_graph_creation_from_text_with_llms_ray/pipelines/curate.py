@@ -74,7 +74,10 @@ def run_curation(
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         curate_shard(docs, weights=weights).write_parquet(out_dir)
-        n_rows = ray.data.read_parquet(out_dir).count()
+        # an all-filtered shard writes ZERO files; read_parquet on an
+        # empty dir raises, so count 0 without reading
+        written = glob.glob(os.path.join(out_dir, "*.parquet"))
+        n_rows = ray.data.read_parquet(written).count() if written else 0
         lineage.write_manifest(
             workdir,
             "curated",
@@ -88,7 +91,15 @@ def run_curation(
         ran.append(i)
 
     man = lineage.load_manifest(workdir, "final", 0)
-    if not ran and man is not None and os.path.isdir(man["corpus_dir"]):
+    if (
+        not ran
+        and man is not None
+        and os.path.isdir(man["corpus_dir"])
+        # a REMOVED trailing shard leaves every positional manifest
+        # valid — the final manifest records the full input set so the
+        # finalize reruns when the set shrinks or reorders
+        and man.get("input_files") == files
+    ):
         return {
             "shards_ran": ran,
             "shards_skipped": skipped,
@@ -97,6 +108,13 @@ def run_curation(
             "final_skipped": True,
         }
     t0 = time.time()
+    # invalidate the final manifest BEFORE mutating the output dir: a
+    # kill mid-rewrite must not leave a manifest pointing at a
+    # partially-written corpus
+    try:
+        os.remove(lineage.manifest_path(workdir, "final", 0))
+    except FileNotFoundError:
+        pass
     shard_files = []
     for i in range(len(files)):
         shard_files.extend(
@@ -106,38 +124,36 @@ def run_curation(
                 )
             )
         )
-    curated = ray.data.read_parquet(shard_files).materialize()
-    # global dedup through the slim (bodies-free) shuffle, on the
-    # fingerprints ALREADY computed per shard: (fingerprint, id) rows
-    # reduce to min-id winners, full rows recovered by a left_semi hash
-    # join — document bodies never enter the exchange
-    from ..stages.relational import bucketed_group_aggregate, hash_join
-
-    def _local_min(b):
-        return b.select(["doc_id", "fingerprint"]).group_by(
-            ["fingerprint"]
-        ).aggregate([("doc_id", "min")])
-
-    winners = bucketed_group_aggregate(
-        curated.map_batches(_local_min, batch_format="pyarrow"),
-        keys=["fingerprint"],
-        agg_specs=[("doc_id_min", "min")],
-        rename={"doc_id_min_min": "doc_id"},
-    ).select_columns(["doc_id"])
-    deduped = hash_join(
-        curated, winners, on=("doc_id",), join_type="left_semi"
-    ).select_columns(["doc_id", "text", "fingerprint", "split"])
+    if not shard_files:  # every shard fully filtered: empty corpus
+        deduped = None
+    else:
+        curated = ray.data.read_parquet(shard_files)
+        # global dedup through the slim (bodies-free) shuffle, reusing
+        # the fingerprints ALREADY computed per shard (the same
+        # size-switched winner recovery as dedup.fingerprint_dedup_slim)
+        deduped = dedup.fingerprint_dedup_slim(
+            curated, fingerprint_col="fingerprint"
+        ).select_columns(["doc_id", "text", "fingerprint", "split"])
     corpus_dir = os.path.join(workdir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)
-    # hive-partitioned by split: a trainer reads corpus/split=train/
-    # without touching val/test files (partition pruning at the read)
-    deduped.write_parquet(corpus_dir, partition_cols=["split"])
-    n_rows = ray.data.read_parquet(corpus_dir).count()
+    if deduped is None:
+        os.makedirs(corpus_dir, exist_ok=True)
+        n_rows = 0
+    else:
+        # hive-partitioned by split: a trainer reads corpus/split=train/
+        # without touching val/test files (partition pruning at the read)
+        deduped.write_parquet(corpus_dir, partition_cols=["split"])
+        n_rows = ray.data.read_parquet(corpus_dir).count()
     lineage.write_manifest(
         workdir,
         "final",
         0,
-        {"corpus_dir": corpus_dir, "rows": n_rows, "wall_time_s": time.time() - t0},
+        {
+            "corpus_dir": corpus_dir,
+            "rows": n_rows,
+            "input_files": files,
+            "wall_time_s": time.time() - t0,
+        },
     )
     return {
         "shards_ran": ran,

@@ -159,7 +159,8 @@ def run_checkpointed(
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         linked.write_parquet(out_dir)
-        n_triples = ray.data.read_parquet(out_dir).count()
+        written = glob.glob(os.path.join(out_dir, "*.parquet"))
+        n_triples = ray.data.read_parquet(written).count() if written else 0
         lineage.write_manifest(
             workdir,
             "linked",
@@ -182,6 +183,9 @@ def run_checkpointed(
         and man is not None
         and os.path.isdir(man["edges_dir"])
         and os.path.isdir(man["nodes_dir"])
+        # a REMOVED trailing shard leaves every positional manifest
+        # valid; older manifests without the recorded set also rerun
+        and man.get("input_files") == files
     ):
         return {
             "shards_ran": ran,
@@ -191,6 +195,12 @@ def run_checkpointed(
             "final_skipped": True,
         }
     t0 = time.time()
+    # invalidate the final manifest BEFORE mutating output dirs: a kill
+    # mid-rewrite must not leave a manifest pointing at partial output
+    try:
+        os.remove(lineage.manifest_path(workdir, "final", 0))
+    except FileNotFoundError:
+        pass
     shard_files = []
     for i in range(len(files)):
         shard_files.extend(
@@ -209,7 +219,12 @@ def run_checkpointed(
         workdir,
         "final",
         0,
-        {"edges_dir": edges_dir, "nodes_dir": nodes_dir, "wall_time_s": time.time() - t0},
+        {
+            "edges_dir": edges_dir,
+            "nodes_dir": nodes_dir,
+            "input_files": files,
+            "wall_time_s": time.time() - t0,
+        },
     )
     return {
         "shards_ran": ran,

@@ -722,7 +722,8 @@ def curate_sql(weights: dict[str, int] | None = None) -> str:
 WITH winners AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
-           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                              ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ),
 rep AS (SELECT doc_id, keep FROM ({rep})),

@@ -337,7 +337,7 @@ def pack_windows(
     id_col: str = "doc_id",
     win_col: str = "win_id",
     tokens_col: str = "n_tokens",
-    num_buckets: int | None = None,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Deterministic sequence packing: assign token windows to
     fixed-token-budget packs (the batch-construction step after
@@ -349,19 +349,16 @@ def pack_windows(
     ``cumulative_tokens_before // budget`` — contiguous packing, so a
     pack's total is ``budget ± one window`` (LM loaders truncate/pad
     the remainder).  The rule is a pure function of the sorted window
-    list: output is independent of block layout and cluster size, and
-    an exact SQL window-function oracle verifies it.
+    list and the FIXED ``num_buckets`` constant (deliberately not
+    cluster-derived): output is independent of block layout and cluster
+    size, and an exact SQL window-function oracle verifies it.
 
     Output: input columns + (pack_bucket, pack_id) with ``pack_id``
     dense per bucket."""
     import numpy as np
 
-    from .relational import partitions_for
-
     if budget <= 0:
         raise ValueError("budget must be positive")
-    if num_buckets is None:
-        num_buckets = partitions_for(scale=0.25, minimum=4)
 
     def _bucket(batch: pa.Table) -> pa.Table:
         from ..functions.hashing import _mix32

@@ -764,6 +764,7 @@ def fingerprint_dedup_slim(
     id_col: str = "doc_id",
     recover: str = "auto",
     broadcast_limit: int = WINNER_BROADCAST_LIMIT,
+    fingerprint_col: str | None = None,
 ) -> ray.data.Dataset:
     """The 100-TB form of ``fingerprint_dedup``: the shuffle carries
     ONLY (fingerprint, id) — document bodies never enter the exchange.
@@ -777,15 +778,26 @@ def fingerprint_dedup_slim(
     survivors ≈ the distinct corpus, far too big for the driver — go
     through a DISTRIBUTED ``left_semi`` hash join instead, never
     touching the driver.  Force a path with ``recover="broadcast"`` /
-    ``"join"``."""
+    ``"join"``.
+
+    Pass ``fingerprint_col`` when the input ALREADY carries md5
+    fingerprints (e.g. per-shard checkpoints) to skip recomputation.
+    """
     from .relational import broadcast_semi_join, bucketed_group_aggregate, hash_join
 
     if recover not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown recover mode {recover!r}")
 
-    with_fp = ds.map_batches(
-        _fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
-    ).materialize()  # consumed twice: winner reduction + row recovery
+    if fingerprint_col is None:
+        with_fp = ds.map_batches(
+            _fingerprint_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"text_col": text_col},
+        ).materialize()  # consumed twice: winner reduction + row recovery
+    else:
+        if fingerprint_col != "fingerprint":
+            raise ValueError("precomputed fingerprints must be named 'fingerprint'")
+        with_fp = ds.materialize()
     slim = with_fp.select_columns([id_col, "fingerprint"])
 
     def _local_min(b: pa.Table) -> pa.Table:

@@ -161,3 +161,26 @@ def test_curation_output_is_split_partitioned(docs_shards, tmp_path):
     assert "split=train" in subdirs
     train = pq.read_table(os.path.join(wd, "corpus", "split=train"))
     assert train.num_rows > 0 and "doc_id" in train.column_names
+
+
+def test_curation_refinalizes_when_trailing_shard_removed(docs_shards, tmp_path):
+    """Removing the lexicographically-LAST input shard keeps every
+    positional manifest valid — the final manifest's recorded input
+    set must force a re-finalize so the corpus drops that shard."""
+    import shutil as _sh
+
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    src = tmp_path / "docs3"
+    _sh.copytree(docs_shards, src)
+    wd = str(tmp_path / "cwd4")
+    run_curation(str(src), wd)
+    n_full = len(_read_corpus_rows(wd))
+    last = sorted(os.listdir(src))[-1]
+    removed = pq.read_table(os.path.join(str(src), last)).num_rows
+    os.remove(os.path.join(str(src), last))
+    s = run_curation(str(src), wd)
+    assert "final_skipped" not in s  # finalize MUST rerun
+    n_after = len(_read_corpus_rows(wd))
+    # the removed shard's (unique) docs are gone from the corpus
+    assert n_after < n_full and n_full - n_after <= removed
