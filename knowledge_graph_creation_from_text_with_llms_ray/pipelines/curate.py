@@ -44,13 +44,32 @@ def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
     return with_fp.select_columns(["doc_id", "text", "fingerprint", "split"])
 
 
+def near_dup_losers(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Near-duplicate NON-survivors of a curated corpus: exact n-gram
+    Jaccard pairs → connected components → every member except the
+    minimum id.  One (node,) column; drop with a distributed
+    ``left_anti`` hash join."""
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.5
+    )
+    comps = dedup.connected_components(pairs)
+    return comps.filter(expr="node != component").select_columns(["node"])
+
+
 def run_curation(
     input_path: str,
     workdir: str,
     weights: dict[str, int] | None = None,
+    near_dup: bool = False,
 ) -> dict:
     """Resumable sharded curation run.  Returns a summary dict (shards
-    run / skipped, output path, row counts)."""
+    run / skipped, output path, row counts).
+
+    ``near_dup=True`` adds a second global finalize stage: after the
+    exact fingerprint dedup, near-duplicate clusters (word-3-gram
+    Jaccard ≥ 0.5 with the production ``df_cap`` skew guard) keep only
+    their minimum-id member, dropped via a distributed anti join —
+    nothing driver-side."""
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet shards under {input_path}")
@@ -99,6 +118,7 @@ def run_curation(
         # valid — the final manifest records the full input set so the
         # finalize reruns when the set shrinks or reorders
         and man.get("input_files") == files
+        and man.get("near_dup", False) == near_dup
     ):
         return {
             "shards_ran": ran,
@@ -134,6 +154,16 @@ def run_curation(
         deduped = dedup.fingerprint_dedup_slim(
             curated, fingerprint_col="fingerprint"
         ).select_columns(["doc_id", "text", "fingerprint", "split"])
+        if near_dup:
+            from ..stages.relational import hash_join
+
+            deduped = hash_join(
+                deduped.materialize(),
+                near_dup_losers(deduped),
+                on=("doc_id",),
+                right_on=("node",),
+                join_type="left_anti",
+            )
     corpus_dir = os.path.join(workdir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)
     if deduped is None:
@@ -152,6 +182,7 @@ def run_curation(
             "corpus_dir": corpus_dir,
             "rows": n_rows,
             "input_files": files,
+            "near_dup": near_dup,
             "wall_time_s": time.time() - t0,
         },
     )

@@ -184,3 +184,22 @@ def test_curation_refinalizes_when_trailing_shard_removed(docs_shards, tmp_path)
     n_after = len(_read_corpus_rows(wd))
     # the removed shard's (unique) docs are gone from the corpus
     assert n_after < n_full and n_full - n_after <= removed
+
+
+def test_curation_near_dup_stage(docs_shards, tmp_path):
+    """near_dup=True additionally collapses near-duplicate clusters
+    (keep-min-id) after the exact dedup; toggling the flag re-finalizes
+    rather than serving the other variant's output."""
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd5")
+    s_exact = run_curation(docs_shards, wd)
+    s_near = run_curation(docs_shards, wd, near_dup=True)
+    assert "final_skipped" not in s_near  # flag change must re-finalize
+    assert s_near["shards_ran"] == []     # per-shard work reused
+    assert 0 < s_near["rows"] <= s_exact["rows"]
+    fps = [r[1] for r in _read_corpus_rows(wd)]
+    assert len(fps) == len(set(fps))
+    # rerun with the same flag: pure skip
+    s_again = run_curation(docs_shards, wd, near_dup=True)
+    assert s_again.get("final_skipped") is True and s_again["rows"] == s_near["rows"]
