@@ -228,7 +228,7 @@ def link_triples_shuffle(
     method: str = "api",
     use_aliases: bool = True,
     concurrency: int | tuple[int, int] = (1, 4),
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     stepwise: bool = False,
 ) -> ray.data.Dataset:
     """Shuffle strategy: distinct surfaces → resolve once per key →
@@ -239,6 +239,12 @@ def link_triples_shuffle(
     clusters (measured: at 4 CPUs the concurrent aggregator
     ``request_resources`` of stacked joins deadlocks); on real clusters
     leave it off and let the joins pipeline."""
+    from .relational import partitions_for
+
+    if num_partitions is None:
+        # scale the three link-back joins with the cluster (joins pin a
+        # CPU per aggregator — a fraction of the cores, not all)
+        num_partitions = partitions_for(scale=0.5, minimum=8)
     resolved = distinct_surfaces(ds).map_batches(
         SurfaceResolverActor,
         batch_format="pyarrow",

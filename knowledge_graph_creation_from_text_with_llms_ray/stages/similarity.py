@@ -94,6 +94,52 @@ def _get_queries(queries_ref) -> tuple[list, np.ndarray]:
     return entry[1], entry[2]
 
 
+_IVF_PLAN_CACHE: dict[str, dict] = {}
+
+
+def _get_ivf_plan(plan_ref) -> dict:
+    key = plan_ref.hex() if isinstance(plan_ref, ray.ObjectRef) else str(id(plan_ref))
+    plan = _IVF_PLAN_CACHE.get(key)
+    if plan is None:
+        plan = (
+            ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        )
+        while len(_IVF_PLAN_CACHE) >= _QUERIES_CACHE_MAX:
+            _IVF_PLAN_CACHE.pop(next(iter(_IVF_PLAN_CACHE)))
+        _IVF_PLAN_CACHE[key] = plan
+    return plan
+
+
+def _ivf_score(
+    batch: pa.Table, plan_ref, vec_col: str, id_col: str, k: int
+) -> pa.Table:
+    """Assign each vector to its nearest centroid cell, score it only
+    against the queries probing that cell."""
+    plan = _get_ivf_plan(plan_ref)
+    cents, cell_queries = plan["cents"], plan["cell_queries"]
+    qids, qmat = plan["qids"], plan["qmat"]
+    vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float32))
+    vids = np.asarray(batch[id_col].to_pylist())
+    assign = np.argmax(vecs @ cents.T, axis=1)
+    tables = []
+    for cell in np.unique(assign):
+        qidx = cell_queries.get(int(cell))
+        if not qidx:
+            continue
+        mask = assign == cell
+        scores = qmat[qidx] @ vecs[mask].T
+        tables.append(_topk_table([qids[q] for q in qidx], vids[mask], scores, k))
+    if not tables:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(tables)
+
+
 def _brute_force_score(
     batch: pa.Table, queries_ref, vec_col: str, id_col: str, k: int
 ) -> pa.Table:
@@ -132,6 +178,8 @@ def knn_brute_force(
     concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     queries_ref = ray.put({"query_id": list(query_ids), "matrix": query_matrix})
+    if isinstance(concurrency, tuple):
+        concurrency = concurrency[1]  # task pools take a single cap
     # task pool (not an actor pool): per-worker query-matrix cache gives
     # broadcast-actor economics without actor startup, and scheduling
     # stays elastic next to other stages.  ``concurrency`` still caps
@@ -259,7 +307,6 @@ def knn_ivf(
         cents = kmeans_centroids(ds, n_cells, vec_col, id_col)
     else:
         cents = deterministic_centroids(ds, n_cells, vec_col, id_col)
-    cents_ref = ray.put(cents)
     qmat = _unit(np.asarray(query_matrix, dtype=np.float32))
     probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     # query sets per cell: cell → [query indices probing it]
@@ -267,43 +314,29 @@ def knn_ivf(
     for qi, cells in enumerate(probe_cells):
         for c in cells:
             cell_queries.setdefault(int(c), []).append(qi)
-    plan_ref = ray.put({"cell_queries": cell_queries, "qids": list(query_ids), "qmat": qmat})
-
-    class IVFScorer:
-        def __init__(self):
-            self.cents = ray.get(cents_ref)
-            plan = ray.get(plan_ref)
-            self.cell_queries = plan["cell_queries"]
-            self.qids = plan["qids"]
-            self.qmat = plan["qmat"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float32))
-            vids = np.asarray(batch[id_col].to_pylist())
-            assign = np.argmax(vecs @ self.cents.T, axis=1)
-            tables = []
-            for cell in np.unique(assign):
-                qidx = self.cell_queries.get(int(cell))
-                if not qidx:
-                    continue
-                mask = assign == cell
-                sub_v = vecs[mask]
-                sub_ids = vids[mask]
-                scores = self.qmat[qidx] @ sub_v.T
-                tables.append(
-                    _topk_table([self.qids[q] for q in qidx], sub_ids, scores, k)
-                )
-            if not tables:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
-            return pa.concat_tables(tables)
-
-    partials = ds.map_batches(IVFScorer, batch_format="pyarrow", concurrency=concurrency)
+    # one broadcast object: centroids + probe plan together (the same
+    # per-worker-cache task-pool shape as knn_brute_force)
+    plan_ref = ray.put(
+        {
+            "cents": cents,
+            "cell_queries": cell_queries,
+            "qids": list(query_ids),
+            "qmat": qmat,
+        }
+    )
+    if isinstance(concurrency, tuple):
+        concurrency = concurrency[1]  # task pools take a single cap
+    partials = ds.map_batches(
+        _ivf_score,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_kwargs={
+            "plan_ref": plan_ref,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "k": k,
+        },
+    )
     # partials are tiny (≤ queries × k rows per block): a handful of
     # aggregators beats Ray's default of one per input block
     from .relational import partitions_for
