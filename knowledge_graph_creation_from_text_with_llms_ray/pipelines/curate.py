@@ -44,18 +44,6 @@ def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
     return with_fp.select_columns(["doc_id", "text", "fingerprint", "split"])
 
 
-def near_dup_losers(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """Near-duplicate NON-survivors of a curated corpus: exact n-gram
-    Jaccard pairs → connected components → every member except the
-    minimum id.  One (node,) column; drop with a distributed
-    ``left_anti`` hash join."""
-    pairs = dedup.ngram_jaccard_pairs(
-        docs.select_columns(["doc_id", "text"]), threshold=0.5
-    )
-    comps = dedup.connected_components(pairs)
-    return comps.filter(expr="node != component").select_columns(["node"])
-
-
 def run_curation(
     input_path: str,
     workdir: str,
@@ -83,7 +71,13 @@ def run_curation(
             # manifest would silently skip the WRONG file — validate
             # the recorded input path and rerun on mismatch
             man = lineage.load_manifest(workdir, "curated", i)
-            if man is not None and man.get("input_file") == f:
+            if (
+                man is not None
+                and man.get("input_file") == f
+                # split labels are computed per shard: different
+                # weights ⇒ different output ⇒ rerun
+                and man.get("weights") == (weights or None)
+            ):
                 skipped.append(i)
                 continue
         t0 = time.time()
@@ -104,6 +98,7 @@ def run_curation(
             {
                 "input_file": f,
                 "rows": n_rows,
+                "weights": weights or None,
                 "wall_time_s": time.time() - t0,
             },
         )
@@ -152,14 +147,18 @@ def run_curation(
         # the fingerprints ALREADY computed per shard (the same
         # size-switched winner recovery as dedup.fingerprint_dedup_slim)
         deduped = dedup.fingerprint_dedup_slim(
-            curated, fingerprint_col="fingerprint"
+            curated, precomputed=True
         ).select_columns(["doc_id", "text", "fingerprint", "split"])
         if near_dup:
             from ..stages.relational import hash_join
 
+            # materialize ONCE; both the anti-join left side and the
+            # loser derivation reuse it (a lazy plan would re-run the
+            # whole dedup recovery)
+            deduped = deduped.materialize()
             deduped = hash_join(
-                deduped.materialize(),
-                near_dup_losers(deduped),
+                deduped,
+                dedup.near_dup_losers(deduped),
                 on=("doc_id",),
                 right_on=("node",),
                 join_type="left_anti",

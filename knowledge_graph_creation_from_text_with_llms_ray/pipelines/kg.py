@@ -206,15 +206,19 @@ def run_checkpointed(
         shard_files.extend(
             sorted(glob.glob(os.path.join(lineage.shard_dir(workdir, "linked", i), "*.parquet")))
         )
-    linked_all = ray.data.read_parquet(shard_files)
-    edges = materialize_edges(linked_all)
     edges_dir = os.path.join(workdir, "edges")
-    shutil.rmtree(edges_dir, ignore_errors=True)  # same uuid-append hazard
-    edges.write_parquet(edges_dir)
-    nodes = materialize_nodes(ray.data.read_parquet(edges_dir))
     nodes_dir = os.path.join(workdir, "nodes")
+    shutil.rmtree(edges_dir, ignore_errors=True)  # same uuid-append hazard
     shutil.rmtree(nodes_dir, ignore_errors=True)
-    nodes.write_parquet(nodes_dir)
+    if not shard_files:  # every shard yielded zero triples
+        os.makedirs(edges_dir, exist_ok=True)
+        os.makedirs(nodes_dir, exist_ok=True)
+    else:
+        linked_all = ray.data.read_parquet(shard_files)
+        edges = materialize_edges(linked_all)
+        edges.write_parquet(edges_dir)
+        nodes = materialize_nodes(ray.data.read_parquet(edges_dir))
+        nodes.write_parquet(nodes_dir)
     lineage.write_manifest(
         workdir,
         "final",

@@ -886,11 +886,9 @@ def q_dedup_survivors(sf_dir: str):
     from ..stages.relational import hash_join
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = dedup.ngram_jaccard_pairs(
-        ds, threshold=0.3, concurrency=(1, 2), df_cap=None  # exact: oracle parity
+    losers = dedup.near_dup_losers(
+        ds, threshold=0.3, df_cap=None, concurrency=(1, 2)  # exact: oracle parity
     )
-    comps = dedup.connected_components(pairs)
-    losers = comps.filter(expr="node != component").select_columns(["node"])
     return hash_join(
         ds.select_columns(["doc_id"]),
         losers,

@@ -764,7 +764,7 @@ def fingerprint_dedup_slim(
     id_col: str = "doc_id",
     recover: str = "auto",
     broadcast_limit: int = WINNER_BROADCAST_LIMIT,
-    fingerprint_col: str | None = None,
+    precomputed: bool = False,
 ) -> ray.data.Dataset:
     """The 100-TB form of ``fingerprint_dedup``: the shuffle carries
     ONLY (fingerprint, id) — document bodies never enter the exchange.
@@ -780,24 +780,23 @@ def fingerprint_dedup_slim(
     touching the driver.  Force a path with ``recover="broadcast"`` /
     ``"join"``.
 
-    Pass ``fingerprint_col`` when the input ALREADY carries md5
-    fingerprints (e.g. per-shard checkpoints) to skip recomputation.
+    Pass ``precomputed=True`` when the input ALREADY carries a
+    ``fingerprint`` column (e.g. per-shard checkpoints) to skip
+    recomputation.
     """
     from .relational import broadcast_semi_join, bucketed_group_aggregate, hash_join
 
     if recover not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown recover mode {recover!r}")
 
-    if fingerprint_col is None:
+    if precomputed:
+        with_fp = ds.materialize()
+    else:
         with_fp = ds.map_batches(
             _fingerprint_batch,
             batch_format="pyarrow",
             fn_kwargs={"text_col": text_col},
         ).materialize()  # consumed twice: winner reduction + row recovery
-    else:
-        if fingerprint_col != "fingerprint":
-            raise ValueError("precomputed fingerprints must be named 'fingerprint'")
-        with_fp = ds.materialize()
     slim = with_fp.select_columns([id_col, "fingerprint"])
 
     def _local_min(b: pa.Table) -> pa.Table:
@@ -819,6 +818,29 @@ def fingerprint_dedup_slim(
     if not tables:  # empty input ⇒ no fingerprints ⇒ no winners
         return with_fp
     return broadcast_semi_join(with_fp, pa.concat_tables(tables), keys=[id_col])
+
+
+def near_dup_losers(
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    df_cap: int | None = 512,
+    concurrency: int | tuple = (1, 4),
+    n: int = 3,
+) -> ray.data.Dataset:
+    """Near-duplicate NON-survivors: exact n-gram Jaccard pairs →
+    connected components → every member except the cluster minimum.
+    One (node,) column; drop with a distributed ``left_anti`` hash
+    join (the shape of ``q_dedup_survivors`` and the curation
+    pipeline's near-dup stage — ONE implementation)."""
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]),
+        threshold=threshold,
+        df_cap=df_cap,
+        concurrency=concurrency,
+        n=n,
+    )
+    comps = connected_components(pairs)
+    return comps.filter(expr="node != component").select_columns(["node"])
 
 
 def connected_components(

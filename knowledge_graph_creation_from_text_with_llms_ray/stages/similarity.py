@@ -63,51 +63,45 @@ def _final_topk(group: pa.Table, k: int) -> pa.Table:
 # tasks.  Bounded (oldest evicted) so repeated KNN calls don't grow
 # worker RSS without limit; each entry pins the SOURCE object so a
 # recycled id() can never alias a different query set.
-_QUERIES_CACHE: dict[str, tuple[object, list, np.ndarray]] = {}
-_QUERIES_CACHE_MAX = 4
+_CACHE_MAX = 4  # per cache: bounds worker RSS across repeated calls
+
+
+def _broadcast_cached(cache: dict, ref, build):
+    """Per-worker cache of a built value keyed by the broadcast object:
+    ObjectRefs key by hex; plain objects key by id() WITH the source
+    pinned in the entry, so a recycled id can never alias a different
+    object.  Oldest entry evicted at ``_CACHE_MAX``."""
+    key = ref.hex() if isinstance(ref, ray.ObjectRef) else str(id(ref))
+    ent = cache.get(key)
+    if ent is not None and (isinstance(ref, ray.ObjectRef) or ent[0] is ref):
+        return ent[1]
+    obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    val = build(obj)
+    while len(cache) >= _CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = (ref, val)
+    return val
+
+
+_QUERIES_CACHE: dict[str, tuple] = {}
 
 
 def _get_queries(queries_ref) -> tuple[list, np.ndarray]:
-    key = (
-        queries_ref.hex()
-        if isinstance(queries_ref, ray.ObjectRef)
-        else str(id(queries_ref))
-    )
-    cached = _QUERIES_CACHE.get(key)
-    if cached is not None and (
-        isinstance(queries_ref, ray.ObjectRef) or cached[0] is queries_ref
-    ):
-        return cached[1], cached[2]
-    q = (
-        ray.get(queries_ref)
-        if isinstance(queries_ref, ray.ObjectRef)
-        else queries_ref
-    )
-    entry = (
+    return _broadcast_cached(
+        _QUERIES_CACHE,
         queries_ref,
-        q["query_id"],
-        _unit(np.asarray(q["matrix"], dtype=np.float32)),
+        lambda q: (
+            q["query_id"],
+            _unit(np.asarray(q["matrix"], dtype=np.float32)),
+        ),
     )
-    while len(_QUERIES_CACHE) >= _QUERIES_CACHE_MAX:
-        _QUERIES_CACHE.pop(next(iter(_QUERIES_CACHE)))
-    _QUERIES_CACHE[key] = entry
-    return entry[1], entry[2]
 
 
-_IVF_PLAN_CACHE: dict[str, dict] = {}
+_IVF_PLAN_CACHE: dict[str, tuple] = {}
 
 
 def _get_ivf_plan(plan_ref) -> dict:
-    key = plan_ref.hex() if isinstance(plan_ref, ray.ObjectRef) else str(id(plan_ref))
-    plan = _IVF_PLAN_CACHE.get(key)
-    if plan is None:
-        plan = (
-            ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
-        )
-        while len(_IVF_PLAN_CACHE) >= _QUERIES_CACHE_MAX:
-            _IVF_PLAN_CACHE.pop(next(iter(_IVF_PLAN_CACHE)))
-        _IVF_PLAN_CACHE[key] = plan
-    return plan
+    return _broadcast_cached(_IVF_PLAN_CACHE, plan_ref, lambda p: p)
 
 
 def _ivf_score(
