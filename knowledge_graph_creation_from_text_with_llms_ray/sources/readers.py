@@ -58,3 +58,35 @@ def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
     return ds.map_batches(_adapt_documents_batch, batch_format="pyarrow")
+
+
+_DOC_FIELDS = {"doc_id": pa.int64(), "text": pa.string()}
+
+
+def _normalize_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Coerce a raw documents read to the engine's canonical
+    (doc_id: int64, text: string) core — extra columns pass through."""
+
+    def _fix(batch: pa.Table) -> pa.Table:
+        for name, typ in _DOC_FIELDS.items():
+            if name not in batch.column_names:
+                raise ValueError(f"documents source is missing column {name!r}")
+            if batch[name].type != typ:
+                idx = batch.schema.get_field_index(name)
+                batch = batch.set_column(idx, name, batch[name].cast(typ))
+        return batch
+
+    return ds.map_batches(_fix, batch_format="pyarrow")
+
+
+def read_documents_jsonl(path: str) -> ray.data.Dataset:
+    """Documents from JSON-lines files (the raw-crawl interchange
+    format): one object per line with at least ``doc_id`` and ``text``.
+    Reads stream per file — shard the input into many .jsonl files for
+    parallelism, exactly like parquet shards."""
+    return _normalize_documents(ray.data.read_json(path))
+
+
+def read_documents_csv(path: str) -> ray.data.Dataset:
+    """Documents from CSV files with a ``doc_id,text,…`` header."""
+    return _normalize_documents(ray.data.read_csv(path))

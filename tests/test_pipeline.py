@@ -139,3 +139,50 @@ def test_max_chunks_is_per_document_limit():
     assert set(per_doc) == {"a.txt", "b.txt"}
     for cids in per_doc.values():
         assert sorted(cids) == [1, 2, 3]
+
+
+def test_jsonl_and_csv_document_sources(tmp_path):
+    """The JSONL / CSV sources yield the same canonical documents as
+    parquet and feed the text operators unchanged."""
+    import csv
+    import json
+
+    import pyarrow as pa
+
+    from knowledge_graph_creation_from_text_with_llms_ray.sources.readers import (
+        read_documents_csv,
+        read_documents_jsonl,
+    )
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import analysis
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 2, "text": "delta epsilon zeta", "lang": "en"},
+        {"doc_id": 3, "text": "", "lang": "xx"},
+    ]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    cv = tmp_path / "docs.csv"
+    with open(cv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["doc_id", "text", "lang"])
+        w.writeheader()
+        w.writerows(rows)
+
+    for reader, src in ((read_documents_jsonl, jl), (read_documents_csv, cv)):
+        ds = reader(str(src))
+        schema = ds.schema()
+        types = dict(zip(schema.names, schema.types))
+        assert types["doc_id"] == pa.int64() and types["text"] == pa.string()
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in analysis.text_stats(ds).take_all()
+        }
+        assert got == {1: 3, 2: 3, 3: 0}, reader.__name__
+    # missing column fails loudly
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"doc_id": 1}) + "\n")
+    import pytest
+    import ray.exceptions
+
+    with pytest.raises(Exception, match="missing column"):
+        read_documents_jsonl(str(bad)).take_all()
