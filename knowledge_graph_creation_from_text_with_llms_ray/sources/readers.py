@@ -90,3 +90,31 @@ def read_documents_jsonl(path: str) -> ray.data.Dataset:
 def read_documents_csv(path: str) -> ray.data.Dataset:
     """Documents from CSV files with a ``doc_id,text,…`` header."""
     return _normalize_documents(ray.data.read_csv(path))
+
+
+def _corpus_docs_batch(batch: pa.Table) -> pa.Table:
+    """(repo, path, content) → (doc_id, text): a stable 63-bit integer
+    id from sha1(repo/path) — deterministic across runs and layouts."""
+    import hashlib as _hl
+
+    ids = [
+        int.from_bytes(
+            _hl.sha1(f"{r}/{p}".encode("utf-8")).digest()[:8], "little"
+        )
+        >> 1
+        for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": batch["content"].cast(pa.string()),
+        }
+    )
+
+
+def corpus_as_documents(path: str) -> ray.data.Dataset:
+    """Adapt a code-corpus directory to the documents shape so the
+    curation/text operators run over it."""
+    return ray.data.read_parquet(path, columns=["repo", "path", "content"]).map_batches(
+        _corpus_docs_batch, batch_format="pyarrow"
+    )
