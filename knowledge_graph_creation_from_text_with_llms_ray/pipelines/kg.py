@@ -128,9 +128,21 @@ def run_checkpointed(
     workdir: str,
     cfg: KGConfig | None = None,
     dict_table: pa.Table | None = None,
+    shard_concurrency: int = 4,
 ) -> dict:
     """Resumable sharded run.  Returns a summary dict (shards run /
-    skipped, output paths)."""
+    skipped, output paths).
+
+    Per-shard work is shuffle-free (stamp → chunk → extract → parse →
+    broadcast link), so up to ``shard_concurrency`` shards execute
+    CONCURRENTLY through a thread pool — a serial loop pays per-job
+    orchestration once per shard (see the same measurement on the
+    curation pipeline: 128 shards, 165 s → 28 s)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .curate import _harden_fsspec_probe
+
+    _harden_fsspec_probe()
     cfg = cfg or KGConfig()
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
@@ -139,6 +151,7 @@ def run_checkpointed(
 
     done = lineage.completed_shards(workdir, "linked")
     ran, skipped = [], []
+    todo = []
     for i, f in enumerate(files):
         if i in done:
             # positional shard ids: validate the manifest's recorded
@@ -148,6 +161,10 @@ def run_checkpointed(
             if man is not None and man.get("input_file") == f:
                 skipped.append(i)
                 continue
+        todo.append((i, f))
+
+    def _run_shard(item):
+        i, f = item
         t0 = time.time()
         stamped = stamp_sha256(read_corpus(f)).materialize()  # one shard, bounded
         rollup, n_docs = _shard_rollup(stamped)
@@ -173,7 +190,11 @@ def run_checkpointed(
                 "wall_time_s": time.time() - t0,
             },
         )
-        ran.append(i)
+        return i
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, shard_concurrency)) as pool:
+            ran = sorted(pool.map(_run_shard, todo))
 
     # Final global materialization over all shard checkpoints; skipped
     # on a pure-resume rerun where nothing upstream changed.
