@@ -86,6 +86,7 @@ def run_curation(
     workdir: str,
     weights: dict[str, int] | None = None,
     near_dup: bool = False,
+    near_dup_method: str = "ngram",
     shard_concurrency: int = 4,
     blocks_per_shard: int | None = 8,
 ) -> dict:
@@ -178,6 +179,7 @@ def run_curation(
         # finalize reruns when the set shrinks or reorders
         and man.get("input_files") == files
         and man.get("near_dup", False) == near_dup
+        and (not near_dup or man.get("near_dup_method") == near_dup_method)
     ):
         return {
             "shards_ran": ran,
@@ -222,7 +224,7 @@ def run_curation(
             deduped = deduped.materialize()
             deduped = hash_join(
                 deduped,
-                dedup.near_dup_losers(deduped),
+                dedup.near_dup_losers(deduped, method=near_dup_method),
                 on=("doc_id",),
                 right_on=("node",),
                 join_type="left_anti",
@@ -246,6 +248,7 @@ def run_curation(
             "rows": n_rows,
             "input_files": files,
             "near_dup": near_dup,
+            "near_dup_method": near_dup_method if near_dup else None,
             "wall_time_s": time.time() - t0,
         },
     )

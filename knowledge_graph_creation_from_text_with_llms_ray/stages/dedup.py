@@ -826,19 +826,31 @@ def near_dup_losers(
     df_cap: int | None = 512,
     concurrency: int | tuple = (1, 4),
     n: int = 3,
+    method: str = "ngram",
 ) -> ray.data.Dataset:
-    """Near-duplicate NON-survivors: exact n-gram Jaccard pairs →
-    connected components → every member except the cluster minimum.
-    One (node,) column; drop with a distributed ``left_anti`` hash
-    join (the shape of ``q_dedup_survivors`` and the curation
-    pipeline's near-dup stage — ONE implementation)."""
-    pairs = ngram_jaccard_pairs(
-        docs.select_columns(["doc_id", "text"]),
-        threshold=threshold,
-        df_cap=df_cap,
-        concurrency=concurrency,
-        n=n,
-    )
+    """Near-duplicate NON-survivors: candidate pairs → connected
+    components → every member except the cluster minimum.  One (node,)
+    column; drop with a distributed ``left_anti`` hash join (the shape
+    of ``q_dedup_survivors`` and the curation pipeline's near-dup
+    stage — ONE implementation).
+
+    ``method="ngram"`` generates EXACT word-n-gram Jaccard pairs
+    (perfect recall under the ``df_cap`` skew guard);
+    ``method="minhash"`` uses MinHash-LSH banding — the estimator the
+    100-TB form runs, where even capped exact gram buckets are too
+    expensive (``threshold`` then applies to the signature-estimated
+    Jaccard)."""
+    docs = docs.select_columns(["doc_id", "text"])
+    if method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=threshold, df_cap=df_cap, concurrency=concurrency, n=n
+        )
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(
+            docs, threshold=threshold, concurrency=concurrency
+        )
+    else:
+        raise ValueError(f"unknown near-dup method {method!r}")
     comps = connected_components(pairs)
     return comps.filter(expr="node != component").select_columns(["node"])
 

@@ -203,3 +203,18 @@ def test_curation_near_dup_stage(docs_shards, tmp_path):
     # rerun with the same flag: pure skip
     s_again = run_curation(docs_shards, wd, near_dup=True)
     assert s_again.get("final_skipped") is True and s_again["rows"] == s_near["rows"]
+
+
+def test_curation_near_dup_minhash_method(docs_shards, tmp_path):
+    """The minhash candidate generator also collapses clusters and a
+    method switch re-finalizes."""
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd6")
+    s_ng = run_curation(docs_shards, wd, near_dup=True)
+    s_mh = run_curation(docs_shards, wd, near_dup=True, near_dup_method="minhash")
+    assert "final_skipped" not in s_mh and s_mh["shards_ran"] == []
+    assert 0 < s_mh["rows"]
+    # same flag+method again: pure skip
+    s2 = run_curation(docs_shards, wd, near_dup=True, near_dup_method="minhash")
+    assert s2.get("final_skipped") is True and s2["rows"] == s_mh["rows"]
