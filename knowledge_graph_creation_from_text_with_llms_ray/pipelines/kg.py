@@ -166,7 +166,13 @@ def run_checkpointed(
     def _run_shard(item):
         i, f = item
         t0 = time.time()
-        stamped = stamp_sha256(read_corpus(f)).materialize()  # one shard, bounded
+        from .curate import _SMALL_SHARD_BYTES
+
+        # small shards: cap block splitting (same churn measurement as
+        # the curation runner); large shards keep size-based splitting
+        cap = 8 if os.path.getsize(f) < _SMALL_SHARD_BYTES else None
+        docs = ray.data.read_parquet(f, override_num_blocks=cap)
+        stamped = stamp_sha256(docs).materialize()  # one shard, bounded
         rollup, n_docs = _shard_rollup(stamped)
         linked = build_linked(stamped, dict_ref, cfg)
         out_dir = lineage.shard_dir(workdir, "linked", i)

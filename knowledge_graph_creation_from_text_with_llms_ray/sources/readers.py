@@ -71,6 +71,11 @@ def _normalize_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
         for name, typ in _DOC_FIELDS.items():
             if name not in batch.column_names:
                 raise ValueError(f"documents source is missing column {name!r}")
+            if name == "doc_id" and batch[name].null_count > 0:
+                # a heterogeneous JSONL can infer the column with nulls;
+                # null ids never match in hash joins, so they'd silently
+                # survive every dedup drop — fail loudly instead
+                raise ValueError("documents source has null doc_id values")
             if batch[name].type != typ:
                 idx = batch.schema.get_field_index(name)
                 batch = batch.set_column(idx, name, batch[name].cast(typ))
@@ -94,12 +99,15 @@ def read_documents_csv(path: str) -> ray.data.Dataset:
 
 def _corpus_docs_batch(batch: pa.Table) -> pa.Table:
     """(repo, path, content) → (doc_id, text): a stable 63-bit integer
-    id from sha1(repo/path) — deterministic across runs and layouts."""
+    id from sha1 over the NUL-separated (repo, path) pair — NUL cannot
+    appear in either name, so ("org", "repo/a.py") and ("org/repo",
+    "a.py") hash differently (a "/" separator would alias them)."""
     import hashlib as _hl
 
     ids = [
         int.from_bytes(
-            _hl.sha1(f"{r}/{p}".encode("utf-8")).digest()[:8], "little"
+            _hl.sha1(r.encode("utf-8") + b"\x00" + p.encode("utf-8")).digest()[:8],
+            "little",
         )
         >> 1
         for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())

@@ -827,6 +827,8 @@ def near_dup_losers(
     concurrency: int | tuple = (1, 4),
     n: int = 3,
     method: str = "ngram",
+    num_perm: int = 64,
+    bands: int = 16,
 ) -> ray.data.Dataset:
     """Near-duplicate NON-survivors: candidate pairs → connected
     components → every member except the cluster minimum.  One (node,)
@@ -835,11 +837,12 @@ def near_dup_losers(
     stage — ONE implementation).
 
     ``method="ngram"`` generates EXACT word-n-gram Jaccard pairs
-    (perfect recall under the ``df_cap`` skew guard);
-    ``method="minhash"`` uses MinHash-LSH banding — the estimator the
-    100-TB form runs, where even capped exact gram buckets are too
-    expensive (``threshold`` then applies to the signature-estimated
-    Jaccard)."""
+    (perfect recall under the ``df_cap`` skew guard; ``n``/``df_cap``
+    apply to this method only); ``method="minhash"`` uses MinHash-LSH
+    banding — the estimator the 100-TB form runs, where even capped
+    exact gram buckets are too expensive (``threshold`` then applies
+    to the signature-estimated Jaccard; tune with
+    ``num_perm``/``bands``)."""
     docs = docs.select_columns(["doc_id", "text"])
     if method == "ngram":
         pairs = ngram_jaccard_pairs(
@@ -847,7 +850,11 @@ def near_dup_losers(
         )
     elif method == "minhash":
         pairs = minhash_lsh_pairs(
-            docs, threshold=threshold, concurrency=concurrency
+            docs,
+            threshold=threshold,
+            concurrency=concurrency,
+            num_perm=num_perm,
+            bands=bands,
         )
     else:
         raise ValueError(f"unknown near-dup method {method!r}")

@@ -186,3 +186,52 @@ def test_jsonl_and_csv_document_sources(tmp_path):
 
     with pytest.raises(Exception, match="missing column"):
         read_documents_jsonl(str(bad)).take_all()
+
+
+def test_corpus_as_documents_adapter(tmp_path):
+    """The corpus→documents adapter (used to run curation over the
+    synthetic code corpus) yields unique, separator-unambiguous ids."""
+    from knowledge_graph_creation_from_text_with_llms_ray.sources.corpus import write_corpus
+    from knowledge_graph_creation_from_text_with_llms_ray.sources.readers import (
+        _corpus_docs_batch,
+        corpus_as_documents,
+    )
+
+    d = tmp_path / "corpus"
+    write_corpus(str(d), n_docs=60, shards=2)
+    rows = corpus_as_documents(str(d)).take_all()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 60 and len(set(ids)) == 60
+    assert all(isinstance(r["text"], str) and r["text"] for r in rows)
+    # ("org", "repo/a.py") must NOT alias ("org/repo", "a.py")
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "repo": ["org", "org/repo"],
+            "path": ["repo/a.py", "a.py"],
+            "content": ["x", "y"],
+        }
+    )
+    out = _corpus_docs_batch(t)
+    assert out["doc_id"][0].as_py() != out["doc_id"][1].as_py()
+
+
+def test_jsonl_null_doc_id_fails_loudly(tmp_path):
+    import json
+
+    import pytest
+
+    from knowledge_graph_creation_from_text_with_llms_ray.sources.readers import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        json.dumps({"doc_id": 1, "text": "a"})
+        + "\n"
+        + json.dumps({"text": "missing id"})
+        + "\n"
+    )
+    with pytest.raises(Exception, match="null doc_id"):
+        read_documents_jsonl(str(p)).take_all()
