@@ -67,7 +67,13 @@ def _harden_fsspec_probe() -> None:
         return
     import ray.data.datasource.path_util as _pu
 
-    _orig = _pu._is_http_filesystem
+    try:
+        _orig = _pu._is_http_filesystem
+    except AttributeError:
+        # private Ray API moved/renamed: the probe is an optimization
+        # guard only — skip hardening rather than fail at startup
+        _PROBE_HARDENED = True
+        return
 
     def _safe(fs):
         try:
@@ -130,8 +136,14 @@ def run_curation(
                 man is not None
                 and man.get("input_file") == f
                 # split labels are computed per shard: different
-                # weights ⇒ different output ⇒ rerun
-                and man.get("weights") == (weights or None)
+                # weights ⇒ different output ⇒ rerun.  Compare the
+                # DERIVED label list, not the weights dict — label
+                # assignment is dict-insertion-order-sensitive and
+                # dict equality ignores key order, so {'test':1,
+                # 'val':1,'train':8} must NOT pass a guard written
+                # for {'train':8,'val':1,'test':1}
+                and man.get("split_labels")
+                == analysis.split_label_list(weights)
             ):
                 skipped.append(i)
                 continue
@@ -170,6 +182,7 @@ def run_curation(
                 "input_file": f,
                 "rows": n_rows,
                 "weights": weights or None,
+                "split_labels": analysis.split_label_list(weights),
                 "wall_time_s": time.time() - t0,
             },
         )

@@ -844,3 +844,76 @@ reg AS (
 )
 SELECT bucket, CAST(max(rho) AS BIGINT) AS register FROM reg GROUP BY bucket
 """
+
+
+def ivf_recall_sql(
+    n_queries: int = 5, n_cells: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """Full SQL replica of the ``centroids="first"`` IVF path
+    (``similarity.knn_ivf``): centroids = the ``n_cells``
+    smallest-id vectors; each vector joins its argmax-cosine cell
+    (first-max tie-break = smallest cell index); each query probes its
+    ``nprobe`` best cells (score desc, cell asc — the pipeline's
+    stable argsort); top-k over the probed cells only.  Recall@k vs
+    the brute-force top-k is reported as exact integers so the value
+    hash is float-free.  Cosine is scale-invariant, so skipping the
+    pipeline's explicit normalization changes no ordering."""
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, a.vec_id
+           ) AS rn
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell
+    JOIN q ON q.query_id = p.query_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+  ) WHERE rn <= {k}
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id
+           ) AS rn
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rn <= {k}
+)
+SELECT b.query_id,
+       CAST(count(i.vec_id) AS BIGINT) AS hits,
+       CAST(count(i.vec_id) * {k} AS BIGINT) AS recall_pct
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id
+"""

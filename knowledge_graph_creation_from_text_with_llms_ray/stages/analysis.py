@@ -393,6 +393,20 @@ def pack_windows(
     )
 
 
+def split_label_list(weights: dict[str, int] | None) -> list[str]:
+    """The expanded modulo-range label list ``split_by_hash`` assigns
+    from — label semantics are ORDER-SENSITIVE (labels fill the modulo
+    range in dict insertion order), so resume guards must compare this
+    list, not the weights dict (dict equality ignores key order)."""
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    labels: list[str] = []
+    for name, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {name!r} must be positive")
+        labels.extend([name] * int(w))
+    return labels
+
+
 def split_by_hash(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -411,12 +425,7 @@ def split_by_hash(
 
     from ..functions.hashing import _mix32, hash64
 
-    weights = weights or {"train": 8, "val": 1, "test": 1}
-    labels: list[str] = []
-    for name, w in weights.items():
-        if w <= 0:
-            raise ValueError(f"weight for {name!r} must be positive")
-        labels.extend([name] * int(w))
+    labels = split_label_list(weights)
     total = len(labels)
     label_arr = pa.array(labels, pa.string())
 

@@ -434,6 +434,15 @@ def _gram_pairs(group: pa.Table, id_col: str, df_cap: int | None) -> pa.Table:
     id_type = group[id_col].type
     ids = sorted(group[id_col].to_pylist())
     if df_cap is not None and len(ids) > df_cap:
+        # capped gram dropped entirely — recall near the threshold
+        # silently degrades, so make the drop observable per task
+        import logging
+
+        logging.getLogger(__name__).info(
+            "df_cap=%d: dropping a gram shared by %d docs "
+            "(near-threshold recall may degrade)",
+            df_cap, len(ids),
+        )
         ids = []
     elif df_cap is None and len(ids) > _GRAM_WARN_DF:
         import logging

@@ -23,17 +23,27 @@ import ray.data
 _PARTIAL_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 _CPUS_CACHE: int | None = None
+_CPUS_CACHE_TS: float = 0.0
+_CPUS_TTL_S = 10.0  # re-read after autoscaling / a new ray.init
 
 
 def _cluster_cpus() -> int:
     """Cluster CPU count; 8 when Ray isn't initialized yet (the library
-    must never trigger ``ray.init`` itself — driver contract)."""
-    global _CPUS_CACHE
-    if _CPUS_CACHE is None and ray.is_initialized():
+    must never trigger ``ray.init`` itself — driver contract).  Cached
+    with a short TTL so partition/bucket counts follow autoscaling and
+    same-process re-inits instead of freezing at the first call."""
+    global _CPUS_CACHE, _CPUS_CACHE_TS
+    import time as _time
+
+    now = _time.monotonic()
+    if (
+        _CPUS_CACHE is None or now - _CPUS_CACHE_TS > _CPUS_TTL_S
+    ) and ray.is_initialized():
         try:
             _CPUS_CACHE = int(ray.cluster_resources().get("CPU", 0) or 0)
+            _CPUS_CACHE_TS = now
         except Exception:
-            return 8
+            return _CPUS_CACHE or 8
     return _CPUS_CACHE or 8
 
 

@@ -302,7 +302,9 @@ def knn_ivf(
     else:
         cents = deterministic_centroids(ds, n_cells, vec_col, id_col)
     qmat = _unit(np.asarray(query_matrix, dtype=np.float32))
-    probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    # stable sort: ties probe the smaller cell index first, so the
+    # probe set is deterministic and SQL-replicable (score desc, cell asc)
+    probe_cells = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :nprobe]
     # query sets per cell: cell → [query indices probing it]
     cell_queries: dict[int, list[int]] = {}
     for qi, cells in enumerate(probe_cells):

@@ -1,0 +1,86 @@
+"""Continuous value-checking of the registry TAIL — the queries past
+the external driver's 50-entry correctness window.
+
+The driver only ever verifies the first 50 ``queries()`` entries, so
+queries rotated to the tail (each with green driver rows from earlier
+rounds) would otherwise be value-checked only by ad-hoc
+``tools/check_oracles.py`` runs.  This test re-implements the driver's
+compare (row count + column set + order-insensitive repr-normalized
+values) for every tail entry with an oracle, at sf0.001, inside the
+regular suite — so a regression in a rotated-out query fails CI, not a
+future round's audit.  Tail entries WITHOUT an oracle (rows-only by
+design) are still executed end-to-end and must return rows.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __ray_entry__ as entry
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+DRIVER_WINDOW = 50
+_ALL = list(entry.queries())
+TAIL = _ALL[DRIVER_WINDOW:]
+
+
+def _norm_cell(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return repr(v)
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)]
+    return sorted(
+        tuple(_norm_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+@pytest.mark.parametrize("name", TAIL)
+def test_tail_query_matches_oracle(name, duck, ray_session):
+    fn = entry.queries()[name]
+    oracles = entry.oracle_sql()
+    res = fn(SF_DIR)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if name not in oracles:
+        # rows-only by design (t-digest sketches, kmeans IVF): the
+        # end-to-end execution itself is the check here; their value
+        # evidence lives in dedicated rank-error / recall tests
+        assert len(df) > 0
+        return
+    odf = duck.execute(oracles[name]).fetchdf()
+    assert len(df) == len(odf), f"{name}: rows {len(df)} vs {len(odf)}"
+    assert sorted(df.columns) == sorted(odf.columns), (
+        f"{name}: cols {sorted(df.columns)} vs {sorted(odf.columns)}"
+    )
+    a, b = _normalize(df), _normalize(odf)
+    if a != b:
+        first = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
+        pytest.fail(f"{name}: values differ, first diff {first}")
