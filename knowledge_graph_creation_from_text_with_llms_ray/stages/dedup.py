@@ -874,21 +874,38 @@ def near_dup_losers(
 def connected_components(
     pairs: ray.data.Dataset,
     max_iters: int = 50,
+    on_nonconverged: str = "raise",
 ) -> ray.data.Dataset:
     """Near-dup clusters from candidate pairs: every node labeled with
     the MINIMUM node id reachable through the pair graph (the step that
     turns pairwise dedup output into keep-one-per-cluster groups).
 
-    Iterative hash-min label propagation: each round every node adopts
-    the smallest label among itself and its neighbors — a combiner-
-    backed min-aggregation per round, so a round's shuffle carries one
-    (node, label) row per (node, block).  Converges in O(diameter)
-    rounds (near-dup clusters are shallow; ``max_iters`` is a
-    backstop).  The loop materializes one small (node, label) table per
+    Iterative hash-min label propagation WITH POINTER JUMPING: each
+    round every node adopts the smallest label among itself and its
+    neighbors (a combiner-backed min-aggregation, so a round's shuffle
+    carries one (node, label) row per (node, block)), then shortcuts
+    through its label's own label (one extra self-join of the small
+    label table).  Propagation alone moves one hop per round —
+    O(diameter) rounds, and web-corpus duplicate chains
+    (mirror-of-a-mirror) routinely exceed any fixed budget; the
+    label-of-label jump doubles the reach per round, so convergence is
+    O(log diameter) and ``max_iters=50`` covers any graph that fits on
+    Earth.  The loop materializes one small (node, label) table per
     round — never the pair list — and stops when a round changes
-    nothing.  Output: (node, component) with component = min reachable
-    id.  Deterministic; also expressible as a recursive-CTE oracle.
-    """
+    nothing.
+
+    A loop that exhausts ``max_iters`` without reaching the fixpoint
+    is NEVER silent: ``on_nonconverged="raise"`` (default) raises
+    RuntimeError — unconverged labels would split components and let
+    duplicates survive dedup invisibly; ``"warn"`` logs and returns
+    the partial labels for callers that prefer progress over
+    completeness.  Output: (node, component) with component = min
+    reachable id.  Deterministic; also expressible as a recursive-CTE
+    oracle."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}"
+        )
     from .relational import pre_aggregated
 
     # undirected edge list, both directions + self (id_a < id_b holds
@@ -929,6 +946,7 @@ def connected_components(
 
     from .relational import hash_join
 
+    converged = False
     for _ in range(max_iters):
         # propagate: each node's new label = min over neighbors' labels
         # and its own; neighbor labels come from one hash join of the
@@ -947,15 +965,56 @@ def connected_components(
             lambda b: pa.table({"node": b["node"], "lbl": b["nbr_lbl"]}),
             batch_format="pyarrow",
         ).union(labels)
-        new_labels = pre_aggregated(
+        propagated = pre_aggregated(
             candidates, keys=["node"], aggs={"lbl": "lbl:min"}
+        )
+        # pointer jumping: shortcut node → lbl → lbl's own label.  A
+        # label is always a node id present in the graph (it is the
+        # min over a reachable set of node ids) and every node has a
+        # labels row, so the inner self-join is total.  This doubles
+        # the shortcut distance per round → O(log diameter) rounds.
+        jumped = hash_join(
+            propagated,
+            propagated.map_batches(
+                lambda b: b.rename_columns(
+                    [
+                        "lbl" if c == "node" else "lbl2" if c == "lbl" else c
+                        for c in b.column_names
+                    ]
+                ),
+                batch_format="pyarrow",
+            ),
+            on=("lbl",),
+        )
+        new_labels = jumped.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "lbl": pc.min_element_wise(b["lbl"], b["lbl2"])}
+            ),
+            batch_format="pyarrow",
         ).materialize()
         # convergence: total label sum strictly decreases until fixpoint
         old_sum = labels.sum("lbl")
         new_sum = new_labels.sum("lbl")
         labels = new_labels
         if old_sum == new_sum:
+            converged = True
             break
+
+    if not converged:
+        msg = (
+            f"connected_components did not reach a fixpoint within "
+            f"max_iters={max_iters} rounds; labels are PARTIAL — a "
+            f"component's members may carry different labels, so "
+            f"duplicates could survive a dedup built on this output. "
+            f"Raise max_iters (rounds needed ≈ log2(diameter) with "
+            f"pointer jumping) or pass on_nonconverged='warn' to "
+            f"accept partial labels."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
 
     return labels.map_batches(
         lambda b: b.rename_columns(

@@ -1,4 +1,5 @@
 import pyarrow as pa
+import pytest
 import ray.data
 
 from knowledge_graph_creation_from_text_with_llms_ray.stages import dedup
@@ -186,6 +187,51 @@ def test_connected_components_chain_and_star():
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_long_chain_converges():
+    """A >50-node chain — the mirror-of-a-mirror shape that exceeded
+    the old O(diameter) round budget — must fully converge within the
+    default max_iters thanks to pointer jumping (O(log diameter))."""
+    n = 120
+    pairs = pa.table(
+        {
+            "id_a": pa.array(list(range(n - 1)), pa.int64()),
+            "id_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            ray.data.from_arrow(pairs), max_iters=12
+        ).take_all()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_is_loud():
+    """Exhausting max_iters without a confirmed fixpoint must RAISE by
+    default (silent partial labels let duplicates survive dedup), and
+    return partial labels under on_nonconverged='warn'."""
+    n = 40
+    pairs = pa.table(
+        {
+            "id_a": pa.array(list(range(n - 1)), pa.int64()),
+            "id_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.connected_components(
+            ray.data.from_arrow(pairs), max_iters=1
+        ).take_all()
+    labels = dedup.connected_components(
+        ray.data.from_arrow(pairs), max_iters=1, on_nonconverged="warn"
+    ).take_all()
+    assert len(labels) == n  # partial labels returned, loudly
+    with pytest.raises(ValueError):
+        dedup.connected_components(
+            ray.data.from_arrow(pairs), on_nonconverged="nope"
+        )
 
 
 def test_fingerprint_slim_join_path_matches_broadcast():
