@@ -338,6 +338,8 @@ def pack_windows(
     win_col: str = "win_id",
     tokens_col: str = "n_tokens",
     num_buckets: int = 64,
+    chunk_ids: int = 1 << 16,
+    offsets_via: str = "auto",
 ) -> ray.data.Dataset:
     """Deterministic sequence packing: assign token windows to
     fixed-token-budget packs (the batch-construction step after
@@ -353,44 +355,117 @@ def pack_windows(
     cluster-derived): output is independent of block layout and cluster
     size, and an exact SQL window-function oracle verifies it.
 
+    Scale shape (the ``running_aggregate_chunked`` two-phase pattern):
+    no task ever holds a whole bucket.  Each bucket is sub-chunked by
+    contiguous doc-id range (``doc_id // chunk_ids`` — order-aligned
+    with the (doc, win) sort, so chunk boundaries cannot reorder
+    windows); the per-window exclusive token cumsum runs per
+    (bucket, chunk) slice, per-chunk totals flow through a combiner
+    aggregation into a tiny per-bucket exclusive prefix-offset table
+    (one row per nonempty chunk), and the offsets rejoin the rows
+    broadcast or via a hash join (``offsets_via`` as in
+    ``windows.running_aggregate_chunked``).  ``chunk_ids`` is a fixed
+    constant like ``num_buckets`` — the output is a pure function of
+    the data, independent of block layout, cluster size, and the chunk
+    width itself.
+
+    ``ds`` is consumed twice (rows + totals); pass a re-executable
+    pipeline (e.g. a parquet read), not a materialized monolith.
+
     Output: input columns + (pack_bucket, pack_id) with ``pack_id``
     dense per bucket."""
     import numpy as np
 
+    from .relational import broadcast_join, hash_join, pre_aggregated
+    from .windows import _offsets_strategy
+
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if chunk_ids <= 0:
+        raise ValueError("chunk_ids must be positive")
 
     def _bucket(batch: pa.Table) -> pa.Table:
         from ..functions.hashing import _mix32
 
-        x = (
-            batch[id_col]
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
+        ids = batch[id_col].cast(pa.int64())
+        x = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
         # the repo's mix32 id-hash convention: exact BIGINT arithmetic,
         # so the SQL oracle replicates the bucket assignment bit-for-bit
         h = _mix32((x & np.uint64(0xFFFFFFFF)) ^ (x >> np.uint64(32)))
-        return batch.append_column(
+        out = batch.append_column(
             "pack_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
+        chunk = np.floor_divide(ids.to_numpy(zero_copy_only=False), chunk_ids)
+        return out.append_column("__chunk", pa.array(chunk, pa.int64()))
 
-    def _pack(group: pa.Table) -> pa.Table:
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+
+    def _local(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
             group, sort_keys=[(id_col, "ascending"), (win_col, "ascending")]
         )
         g = group.take(order)
         toks = np.asarray(g[tokens_col], dtype=np.int64)
         before = np.concatenate(([0], np.cumsum(toks)[:-1]))
-        return g.append_column(
-            "pack_id", pa.array(before // budget, pa.int64())
+        return g.append_column("__before", pa.array(before, pa.int64()))
+
+    local = bucketed.groupby(["pack_bucket", "__chunk"]).map_groups(
+        _local, batch_format="pyarrow"
+    )
+
+    totals = pre_aggregated(
+        bucketed.select_columns(["pack_bucket", "__chunk", tokens_col]),
+        keys=["pack_bucket", "__chunk"],
+        aggs={"__total": f"{tokens_col}:sum"},
+    )
+
+    def _prefix(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("__chunk", "ascending")])
+        g = group.take(order)
+        tot = np.asarray(g["__total"], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(tot)[:-1]))
+        return pa.table(
+            {
+                # Ray's groupby widens the int32 bucket key to int64 —
+                # cast back so the rejoin key types match the row side
+                "pack_bucket": g["pack_bucket"].cast(pa.int32()),
+                "__chunk": g["__chunk"].cast(pa.int64()),
+                "__offset": pa.array(offs, pa.int64()),
+            }
         )
 
-    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
-    return bucketed.groupby("pack_bucket").map_groups(
-        _pack, batch_format="pyarrow"
+    offsets = totals.groupby("pack_bucket").map_groups(
+        _prefix, batch_format="pyarrow"
     )
+
+    offsets_via, offsets = _offsets_strategy(offsets, offsets_via)
+    if offsets_via == "broadcast":
+        off_parts = [t for t in ray.get(offsets.to_arrow_refs()) if t.num_rows > 0]
+        if not off_parts:  # empty input
+            return local.map_batches(
+                lambda b: b.append_column(
+                    "pack_id", pa.nulls(b.num_rows, pa.int64())
+                ).drop_columns(["__chunk", "__before"]),
+                batch_format="pyarrow",
+            )
+        joined = broadcast_join(
+            local,
+            pa.concat_tables(off_parts),
+            keys=["pack_bucket", "__chunk"],
+            join_type="inner",
+        )
+    else:
+        joined = hash_join(local, offsets, on=("pack_bucket", "__chunk"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        before = np.asarray(batch["__before"], dtype=np.int64)
+        offset = np.asarray(batch["__offset"], dtype=np.int64)
+        out = batch.append_column(
+            "pack_id", pa.array((before + offset) // budget, pa.int64())
+        )
+        return out.drop_columns(["__chunk", "__before", "__offset"])
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
 
 
 def split_label_list(weights: dict[str, int] | None) -> list[str]:

@@ -267,3 +267,50 @@ def test_pack_windows_budget_and_layout_invariance():
     )
     with pytest.raises(ValueError):
         analysis.pack_windows(rd.from_arrow(t), budget=0)
+
+
+def test_pack_windows_chunked_invariance():
+    """The two-phase chunked path must be invariant to the chunk width
+    (chunk_ids=8 forces many doc-id chunks per bucket; 1<<16 puts all
+    50 docs in one chunk ≈ monolithic) and to the offsets join
+    strategy — no window may move between packs."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([i // 4 for i in range(200)], pa.int64()),
+            "win_id": pa.array([i % 4 for i in range(200)], pa.int64()),
+            "n_tokens": pa.array(
+                [7 + (i * 13) % 9 for i in range(200)], pa.int64()
+            ),
+        }
+    )
+
+    def run(**kw):
+        return sorted(
+            (r["doc_id"], r["win_id"], r["pack_bucket"], r["pack_id"])
+            for r in analysis.pack_windows(
+                rd.from_arrow(t), budget=50, num_buckets=4, **kw
+            ).take_all()
+        )
+
+    mono = run(chunk_ids=1 << 16)
+    many_chunks = run(chunk_ids=8)
+    assert mono == many_chunks
+    joined = run(chunk_ids=8, offsets_via="join")
+    assert mono == joined
+    # spot-check against a pure-python replica of the packing rule
+    from knowledge_graph_creation_from_text_with_llms_ray.functions.hashing import _mix32
+    import numpy as np
+
+    rows = sorted(
+        zip(t["doc_id"].to_pylist(), t["win_id"].to_pylist(), t["n_tokens"].to_pylist())
+    )
+    expect = []
+    state: dict = {}
+    for d, w, n in rows:
+        b = int(_mix32(np.array([d], dtype=np.uint64))[0] % 4)
+        before = state.get(b, 0)
+        expect.append((d, w, b, before // 50))
+        state[b] = before + n
+    assert mono == sorted(expect)
