@@ -97,10 +97,17 @@ def run_headline() -> dict:
     # Auxiliary (NOT counted in `value`): the reworked dedup pipelines —
     # MinHash-LSH with slim band shuffle + signature joins, the exact
     # distributed n-gram Jaccard — plus the round-3 curation
-    # composition and the cross-dataset decontamination sweep.
+    # composition, the cross-dataset decontamination sweep, and the
+    # round-4 Bloom-prefiltered survivor drop (dedup_survivors).
     aux: dict[str, float] = {}
     aux_median: dict[str, float] = {}
-    for name in ("dedup_minhash", "dedup_ngram", "corpus_curate", "dedup_contamination"):
+    for name in (
+        "dedup_minhash",
+        "dedup_ngram",
+        "corpus_curate",
+        "dedup_contamination",
+        "dedup_survivors",
+    ):
         runs, rows[name] = _timed_runs(lambda: qs[name](SF_DIR), AUX_REPEATS)
         aux[name] = round(min(runs), 3)
         aux_median[name] = round(statistics.median(runs), 3)

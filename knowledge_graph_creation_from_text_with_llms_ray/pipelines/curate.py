@@ -239,18 +239,14 @@ def run_curation(
             curated, precomputed=True
         ).select_columns(["doc_id", "text", "fingerprint", "split"])
         if near_dup:
-            from ..stages.relational import hash_join
-
-            # materialize ONCE; both the anti-join left side and the
+            # materialize ONCE; both the loser-drop left side and the
             # loser derivation reuse it (a lazy plan would re-run the
             # whole dedup recovery)
             deduped = deduped.materialize()
-            deduped = hash_join(
-                deduped,
-                dedup.near_dup_losers(deduped, method=near_dup_method),
-                on=("doc_id",),
-                right_on=("node",),
-                join_type="left_anti",
+            # Bloom anti prefilter + exact left_anti on the sliver:
+            # survivors (the vast majority) never enter the exchange
+            deduped = dedup.drop_losers(
+                deduped, dedup.near_dup_losers(deduped, method=near_dup_method)
             )
     corpus_dir = os.path.join(workdir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)

@@ -880,22 +880,17 @@ def q_dedup_components(sf_dir: str):
 def q_dedup_survivors(sf_dir: str):
     """End-to-end near-dup curation: docs → exact n-gram pairs →
     connected components → keep the minimum-id doc per cluster (docs in
-    no cluster keep themselves).  The non-survivor set is dropped with
-    a DISTRIBUTED hash anti-join — at web scale near-dup losers are a
-    large fraction of the corpus, so they never touch the driver."""
-    from ..stages.relational import hash_join
-
+    no cluster keep themselves).  The non-survivor set is dropped via
+    ``dedup.drop_losers`` — a Bloom anti prefilter clears the surviving
+    majority without entering the exchange, then an exact distributed
+    ``left_anti`` join handles the loser+false-positive sliver, so the
+    shuffle moves ~|losers| rows, never ~|corpus| rows (and the loser
+    set itself never touches the driver)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     losers = dedup.near_dup_losers(
         ds, threshold=0.3, df_cap=None, concurrency=(1, 2)  # exact: oracle parity
     )
-    return hash_join(
-        ds.select_columns(["doc_id"]),
-        losers,
-        on=("doc_id",),
-        right_on=("node",),
-        join_type="left_anti",
-    )
+    return dedup.drop_losers(ds.select_columns(["doc_id"]), losers)
 
 
 def q_dedup_fingerprint_slim(sf_dir: str):

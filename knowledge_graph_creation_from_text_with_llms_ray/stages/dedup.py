@@ -871,6 +871,41 @@ def near_dup_losers(
     return comps.filter(expr="node != component").select_columns(["node"])
 
 
+def drop_losers(
+    docs: ray.data.Dataset,
+    losers: ray.data.Dataset,
+    id_col: str = "doc_id",
+    loser_col: str = "node",
+    via: str = "bloom",
+) -> ray.data.Dataset:
+    """Drop a loser-id set from a corpus — the keep-survivors step
+    shared by ``q_dedup_survivors`` and the curation near-dup stage
+    (ONE implementation).
+
+    ``via="bloom"`` (default) is the 100-TB shape: a Bloom filter of
+    the loser ids broadcasts once (bounded by ``m_bits/8`` bytes
+    regardless of loser count) and clears the surviving majority
+    WITHOUT entering the exchange; only the losers themselves plus the
+    false-positive sliver pay exact ``left_anti`` join traffic, so the
+    shuffle moves ~|losers| rows instead of ~|corpus| rows.  Exact by
+    construction (``bloom_semi_join`` anti requires ``exact_verify``).
+    ``via="join"`` is the plain distributed ``left_anti`` hash join —
+    every row enters the exchange; use it when losers rival the corpus
+    in size (the filter then clears almost nothing)."""
+    from .relational import bloom_semi_join, hash_join
+
+    if via == "bloom":
+        return bloom_semi_join(
+            docs, losers, on=id_col, right_on=loser_col, anti=True
+        )
+    if via == "join":
+        return hash_join(
+            docs, losers, on=(id_col,), right_on=(loser_col,),
+            join_type="left_anti",
+        )
+    raise ValueError(f"unknown drop_losers via {via!r}")
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     max_iters: int = 50,

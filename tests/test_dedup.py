@@ -260,6 +260,38 @@ def test_fingerprint_slim_auto_switches_on_limit():
     assert got == list(range(10))
 
 
+def test_drop_losers_bloom_matches_plain_join():
+    """The Bloom-prefiltered loser drop (the curation/survivors
+    composition path) must be row-identical to the plain distributed
+    left_anti — including under a deliberately tiny filter where false
+    positives are certain (exact_verify catches them in the sliver
+    join)."""
+    import ray.data as rd
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(300)), pa.int64()),
+                "text": pa.array([f"d{i}" for i in range(300)], pa.string()),
+            }
+        )
+    ).repartition(5)
+    losers = rd.from_arrow(
+        pa.table({"node": pa.array([2, 17, 17, 250, 999], pa.int64())})
+    )
+    want = sorted(set(range(300)) - {2, 17, 250})
+    via_join = sorted(
+        r["doc_id"] for r in dedup.drop_losers(docs, losers, via="join").take_all()
+    )
+    via_bloom = sorted(
+        r["doc_id"] for r in dedup.drop_losers(docs, losers, via="bloom").take_all()
+    )
+    assert via_join == want
+    assert via_bloom == want
+    with pytest.raises(ValueError):
+        dedup.drop_losers(docs, losers, via="nope")
+
+
 def test_ngram_df_cap_bounds_hot_gram():
     """One stop-word gram shared by 90% of docs: the finite default cap
     drops it, so the pair budget stays bounded by the rare grams."""
