@@ -99,6 +99,7 @@ def run_curation(
     near_dup_method: str = "ngram",
     shard_concurrency: int = 4,
     blocks_per_shard: int | None = 8,
+    out_rows_per_file: int = 16384,
 ) -> dict:
     """Resumable sharded curation run.  Returns a summary dict (shards
     run / skipped, output path, row counts).
@@ -108,6 +109,11 @@ def run_curation(
     Jaccard ≥ 0.5 with the production ``df_cap`` skew guard) keep only
     their minimum-id member, dropped via a distributed anti join —
     nothing driver-side.
+
+    ``out_rows_per_file`` is the ``min_rows_per_file`` passed to every
+    parquet write (shard checkpoints, dedup checkpoint, final corpus):
+    it coalesces per-block outputs into few large files so downstream
+    reads aren't dominated by per-file opens.
 
     Shards are independent pure-map jobs (no shuffle), so up to
     ``shard_concurrency`` of them execute CONCURRENTLY — a serial
@@ -169,11 +175,14 @@ def run_curation(
         # clean stale partial output (uuid filenames append, not replace)
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
-        curate_shard(docs, weights=weights).write_parquet(out_dir)
-        # an all-filtered shard writes ZERO files; read_parquet on an
-        # empty dir raises, so count 0 without reading
+        # min_rows_per_file coalesces the per-block outputs: without it
+        # a GB shard writes ~270 ≈2 MB files, and every downstream read
+        # (the finalize, a resumed run) pays per-file open cost 270×
+        curate_shard(docs, weights=weights).write_parquet(
+            out_dir, min_rows_per_file=out_rows_per_file
+        )
         written = glob.glob(os.path.join(out_dir, "*.parquet"))
-        n_rows = ray.data.read_parquet(written).count() if written else 0
+        n_rows = lineage.footer_row_count(written)
         lineage.write_manifest(
             workdir,
             "curated",
@@ -233,21 +242,36 @@ def run_curation(
     else:
         curated = ray.data.read_parquet(shard_files)
         # global dedup through the slim (bodies-free) shuffle, reusing
-        # the fingerprints ALREADY computed per shard (the same
-        # size-switched winner recovery as dedup.fingerprint_dedup_slim)
+        # the fingerprints ALREADY computed per shard; rescan=True —
+        # the input is a bare checkpoint read, so the winner pass
+        # re-reads just (doc_id, fingerprint) column-pruned instead of
+        # pinning every body in the object store
         deduped = dedup.fingerprint_dedup_slim(
-            curated, precomputed=True
+            curated,
+            precomputed=True,
+            rescan=True,
+            slim_input=ray.data.read_parquet(
+                shard_files, columns=["doc_id", "fingerprint"]
+            ),
         ).select_columns(["doc_id", "text", "fingerprint", "split"])
         if near_dup:
-            # materialize ONCE; both the loser-drop left side and the
-            # loser derivation reuse it (a lazy plan would re-run the
-            # whole dedup recovery)
-            deduped = deduped.materialize()
+            # checkpoint the exact-dedup result to disk instead of
+            # materializing it: the loser derivation and the loser-drop
+            # left side both re-read from parquet (column-pruned where
+            # possible).  Pinning the corpus in the object store made
+            # every later task in the session 3-4× slower at 4 GB and
+            # is impossible at 100 TB; a disk checkpoint streams.
+            dedup_dir = os.path.join(workdir, "deduped")
+            shutil.rmtree(dedup_dir, ignore_errors=True)
+            deduped.write_parquet(dedup_dir, min_rows_per_file=out_rows_per_file)
+            dd_files = sorted(glob.glob(os.path.join(dedup_dir, "*.parquet")))
+            losers = dedup.near_dup_losers(
+                ray.data.read_parquet(dd_files, columns=["doc_id", "text"]),
+                method=near_dup_method,
+            )
             # Bloom anti prefilter + exact left_anti on the sliver:
             # survivors (the vast majority) never enter the exchange
-            deduped = dedup.drop_losers(
-                deduped, dedup.near_dup_losers(deduped, method=near_dup_method)
-            )
+            deduped = dedup.drop_losers(ray.data.read_parquet(dd_files), losers)
     corpus_dir = os.path.join(workdir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)
     if deduped is None:
@@ -256,8 +280,18 @@ def run_curation(
     else:
         # hive-partitioned by split: a trainer reads corpus/split=train/
         # without touching val/test files (partition pruning at the read)
-        deduped.write_parquet(corpus_dir, partition_cols=["split"])
-        n_rows = ray.data.read_parquet(corpus_dir).count()
+        deduped.write_parquet(
+            corpus_dir,
+            partition_cols=["split"],
+            min_rows_per_file=out_rows_per_file,
+        )
+        n_rows = lineage.footer_row_count(
+            glob.glob(os.path.join(corpus_dir, "**", "*.parquet"), recursive=True)
+        )
+    # the exact-dedup checkpoint is intermediate to the finalize — a
+    # resumed run rebuilds it from the curated shards, so reclaim the
+    # disk (at corpus scale it is a full extra copy)
+    shutil.rmtree(os.path.join(workdir, "deduped"), ignore_errors=True)
     lineage.write_manifest(
         workdir,
         "final",

@@ -181,9 +181,12 @@ def run_checkpointed(
         # stale dir would APPEND duplicates — clean before rewriting
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
-        linked.write_parquet(out_dir)
+        # coalesce per-block outputs into few large files; count from
+        # the footers — a count() re-read costs about as much as the
+        # write at GB shard sizes
+        linked.write_parquet(out_dir, min_rows_per_file=16384)
         written = glob.glob(os.path.join(out_dir, "*.parquet"))
-        n_triples = ray.data.read_parquet(written).count() if written else 0
+        n_triples = lineage.footer_row_count(written)
         lineage.write_manifest(
             workdir,
             "linked",

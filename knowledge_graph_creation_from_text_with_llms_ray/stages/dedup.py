@@ -774,6 +774,8 @@ def fingerprint_dedup_slim(
     recover: str = "auto",
     broadcast_limit: int = WINNER_BROADCAST_LIMIT,
     precomputed: bool = False,
+    rescan: bool = False,
+    slim_input: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """The 100-TB form of ``fingerprint_dedup``: the shuffle carries
     ONLY (fingerprint, id) — document bodies never enter the exchange.
@@ -792,21 +794,39 @@ def fingerprint_dedup_slim(
     Pass ``precomputed=True`` when the input ALREADY carries a
     ``fingerprint`` column (e.g. per-shard checkpoints) to skip
     recomputation.
+
+    ``rescan=True`` (valid only with ``precomputed``) skips the input
+    materialization: the winner reduction re-executes the input plan
+    COLUMN-PRUNED to (id, fingerprint) and row recovery streams over a
+    second execution.  Use it when the input is a bare parquet read —
+    the slim pass then costs two tiny column reads instead of pinning
+    every document body in the object store (measured: pinning the
+    corpus made every later task in the session 3-4× slower at the
+    500k-doc / 4 GB scale, and at 100 TB it simply doesn't fit).
     """
     from .relational import broadcast_semi_join, bucketed_group_aggregate, hash_join
 
     if recover not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown recover mode {recover!r}")
+    if rescan and not precomputed:
+        raise ValueError("rescan=True requires precomputed=True")
+    if slim_input is not None and not rescan:
+        raise ValueError("slim_input only applies with rescan=True")
 
     if precomputed:
-        with_fp = ds.materialize()
+        with_fp = ds if rescan else ds.materialize()
     else:
         with_fp = ds.map_batches(
             _fingerprint_batch,
             batch_format="pyarrow",
             fn_kwargs={"text_col": text_col},
         ).materialize()  # consumed twice: winner reduction + row recovery
-    slim = with_fp.select_columns([id_col, "fingerprint"])
+    # slim_input: caller-supplied column-pruned equivalent of ds (e.g.
+    # read_parquet(files, columns=[id, fingerprint])) — the winner pass
+    # then reads two thin columns instead of decoding every body twice
+    slim = (
+        slim_input if slim_input is not None else with_fp
+    ).select_columns([id_col, "fingerprint"])
 
     def _local_min(b: pa.Table) -> pa.Table:
         return b.group_by(["fingerprint"]).aggregate([(id_col, "min")])

@@ -56,6 +56,18 @@ def write_manifest(
     return path
 
 
+def footer_row_count(files: list[str]) -> int:
+    """Exact row count from parquet FOOTERS only — no data pages.
+
+    Checkpoint manifests need the row count of what was just written;
+    re-reading the files through a Ray job to ``count()`` was measured
+    at GB shard sizes to cost about as much as the write itself.  The
+    footer already carries the number."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+
 def load_manifest(workdir: str, stage: str, shard: int) -> dict[str, Any] | None:
     path = manifest_path(workdir, stage, shard)
     if not os.path.exists(path):

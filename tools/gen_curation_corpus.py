@@ -1,0 +1,92 @@
+"""Deterministic documents-shaped corpus generator for curation
+benchmarks (production-shard-size variant).
+
+The round-3 scaling measurement ran 500k tiny (~370-char) docs in 128
+sub-MB shards — per-shard orchestration dominated and 32 cores were
+under-fed, so the measured 8→32 efficiency (0.31) said nothing about
+the pipeline.  This writes the SAME doc count as big shards: ~8 kB
+docs in N on-disk shards that each clear the curation runner's
+``_SMALL_SHARD_BYTES`` (64 MiB) threshold, so the size-aware block cap
+leaves Ray's internal splitting ON and one shard parallelizes across
+cores — the geometry a production corpus has.
+
+Deterministic: every doc's text is a pure function of (seed, doc_id).
+~3% of docs are exact duplicates of a lower-id doc (text copied, id
+distinct) so the global fingerprint dedup stage has real work.
+
+Usage: python tools/gen_curation_corpus.py OUT_DIR [n_docs] [shards]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "the spark customer table data line batch stream window value key query "
+    "row part column order hash vector agg big small fast slow alpha beta "
+    "gamma delta shard block actor task node edge graph label token pack "
+    "bucket probe merge scan"
+).split()
+
+WORDS_PER_DOC = 1300  # ≈ 8 kB of text
+DUP_RATE = 0.03
+
+
+def _shard_table(shard: int, n_docs: int, shards: int, seed: int) -> pa.Table:
+    lo = shard * n_docs // shards
+    hi = (shard + 1) * n_docs // shards
+    rng = np.random.RandomState(seed + shard)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    ids = list(range(lo, hi))
+    for doc_id in ids:
+        words = vocab[rng.randint(0, len(vocab), WORDS_PER_DOC)]
+        texts.append(" ".join(words.tolist()) + f" doc tail {doc_id % 97}")
+    # exact duplicates WITHIN the shard (global dedup still crosses
+    # shards via the fingerprint shuffle; in-shard dups exercise the
+    # same path and keep generation single-pass)
+    n_dup = int(len(ids) * DUP_RATE)
+    dup_pos = rng.randint(1, len(ids), n_dup)
+    for p in dup_pos:
+        texts[p] = texts[p - 1]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def generate(out_dir: str, n_docs: int = 500_000, shards: int = 8, seed: int = 42) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _write(shard: int) -> str:
+        path = os.path.join(out_dir, f"part-{shard:03d}.parquet")
+        # many row groups per file (as real writers produce): Ray's
+        # parquet read splits at row-group granularity, so a GB shard
+        # written as ONE group would be unsplittable — one read task
+        # per shard no matter the cluster size
+        pq.write_table(
+            _shard_table(shard, n_docs, shards, seed), path, row_group_size=4096
+        )
+        return path
+
+    for p in ray.get([_write.remote(s) for s in range(shards)]):
+        print(p, os.path.getsize(p) >> 20, "MiB")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kgray_curate_docs_big"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    s = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    generate(out, n, s)
