@@ -45,8 +45,10 @@ def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
 
 
 # shard files below this size get a fixed small block cap; larger ones
-# keep Ray's size-based splitting (GB-scale shards parallelize inside)
+# are split into ~_TARGET_BLOCK_BYTES read tasks (GB-scale shards
+# parallelize inside)
 _SMALL_SHARD_BYTES = 64 << 20
+_TARGET_BLOCK_BYTES = 32 << 20
 
 _PROBE_HARDENED = False
 
@@ -99,7 +101,7 @@ def run_curation(
     near_dup_method: str = "ngram",
     shard_concurrency: int = 4,
     blocks_per_shard: int | None = 8,
-    out_rows_per_file: int = 16384,
+    out_rows_per_file: int = 8192,
 ) -> dict:
     """Resumable sharded curation run.  Returns a summary dict (shards
     run / skipped, output path, row counts).
@@ -110,10 +112,15 @@ def run_curation(
     their minimum-id member, dropped via a distributed anti join —
     nothing driver-side.
 
-    ``out_rows_per_file`` is the ``min_rows_per_file`` passed to every
-    parquet write (shard checkpoints, dedup checkpoint, final corpus):
-    it coalesces per-block outputs into few large files so downstream
-    reads aren't dominated by per-file opens.
+    ``out_rows_per_file`` is the ``min_rows_per_file`` passed to the
+    small-shard checkpoint, dedup checkpoint and final corpus writes:
+    it coalesces per-block outputs into fewer, larger files so
+    downstream reads aren't dominated by per-file opens.  It is a
+    TASK-granularity knob too — Write fuses with the upstream map
+    chain, so each fused task consumes at least this many rows (8192
+    ≈ 60 write tasks at 500k rows: parallel at 32 CPUs AND ~10 MB
+    files; 16384 measured 4 s slower on the corpus write).  Big-shard
+    checkpoints skip it entirely (block-sized files, full parallelism).
 
     Shards are independent pure-map jobs (no shuffle), so up to
     ``shard_concurrency`` of them execute CONCURRENTLY — a serial
@@ -160,13 +167,16 @@ def run_curation(
         t0 = time.time()
         # SMALL shards: without a cap Ray splits every tiny file into
         # ~2×CPU blocks and per-task churn dominates (measured 87 s →
-        # 28 s at 32 CPUs / 500k docs).  LARGE shards keep Ray's
-        # size-based splitting so one shard still parallelizes
-        # internally — the cap applies below _SMALL_SHARD_BYTES only.
+        # 28 s at 32 CPUs / 500k docs).  LARGE shards are split into
+        # ~32 MiB read tasks at row-group granularity: Ray's default is
+        # ONE read task per file (measured 11.7 s single-threaded decode
+        # of a 150 MB shard), which serializes the whole shard job.
+        size = os.path.getsize(f)
+        small = size < _SMALL_SHARD_BYTES
         cap = (
             blocks_per_shard
-            if os.path.getsize(f) < _SMALL_SHARD_BYTES
-            else None
+            if small
+            else max(blocks_per_shard or 1, size // _TARGET_BLOCK_BYTES)
         )
         docs = ray.data.read_parquet(
             f, columns=["doc_id", "text"], override_num_blocks=cap
@@ -175,11 +185,17 @@ def run_curation(
         # clean stale partial output (uuid filenames append, not replace)
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
-        # min_rows_per_file coalesces the per-block outputs: without it
-        # a GB shard writes ~270 ≈2 MB files, and every downstream read
-        # (the finalize, a resumed run) pays per-file open cost 270×
+        # File-size control WITHOUT min_rows_per_file on big shards:
+        # Write fuses with the upstream map chain, and min_rows_per_file
+        # makes the fused operator consume ≥that many rows per TASK —
+        # measured: it collapsed a whole 62.5k-row shard to 4 tasks, so
+        # 8 concurrent shard jobs could not even feed 32 CPUs.  Big
+        # shards already read as ~32 MiB blocks, so block-sized output
+        # files are the right size with full map parallelism; tiny
+        # shards (orchestration-bound anyway) still coalesce.
         curate_shard(docs, weights=weights).write_parquet(
-            out_dir, min_rows_per_file=out_rows_per_file
+            out_dir,
+            min_rows_per_file=out_rows_per_file if small else None,
         )
         written = glob.glob(os.path.join(out_dir, "*.parquet"))
         n_rows = lineage.footer_row_count(written)

@@ -764,7 +764,12 @@ def embedding_near_dup_pairs(
     )
 
 
-WINNER_BROADCAST_LIMIT = 1_000_000  # ids; above this, recover via hash join
+# Driver-side slim-row budget: a (16-byte id, 32-byte hex fingerprint)
+# pair costs ~60 B in Arrow, so 4 M rows ≈ 250 MB driver heap — safe on
+# any real driver node, and collecting the combined slim set driver-side
+# saves a whole all-to-all (measured ~20 s at the 2 M-doc bench).
+# Beyond it the bucketed shuffle / Bloom paths engage.
+WINNER_BROADCAST_LIMIT = 4_000_000
 
 
 def fingerprint_dedup_slim(
@@ -778,18 +783,32 @@ def fingerprint_dedup_slim(
     slim_input: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """The 100-TB form of ``fingerprint_dedup``: the shuffle carries
-    ONLY (fingerprint, id) — document bodies never enter the exchange.
-    Winner ids (min id per fingerprint) come from a combiner + bucketed
-    Arrow min; the full rows are then recovered by a semi-join on the
-    winner-id set.  Identical output to ``fingerprint_dedup``.
+    ONLY (fingerprint, id) — document bodies never enter the exchange
+    at ANY input size.  Identical output to ``fingerprint_dedup``.
 
-    Row recovery is size-switched (``recover="auto"``): winner sets up
-    to ``broadcast_limit`` ids ship as a broadcast key set (one
-    ``ray.put``, read by every task); larger sets — at web scale the
-    survivors ≈ the distinct corpus, far too big for the driver — go
-    through a DISTRIBUTED ``left_semi`` hash join instead, never
-    touching the driver.  Force a path with ``recover="broadcast"`` /
-    ``"join"``.
+    Recovery is LOSER-based, not winner-based: the rows to drop (every
+    non-minimum id of a duplicated fingerprint) are derived slim, and
+    the corpus streams through an anti filter against that set.  The
+    loser set scales with the DUPLICATE count, not the corpus — the
+    winner set is ≈ the distinct corpus (1.94 M ids at the 2 M-doc
+    bench, blowing any broadcast budget and forcing a full-body
+    ``left_semi`` shuffle, measured 218 s); the loser set was 58 k ids
+    on the same input (broadcast anti, zero body shuffle, 23 s E2E).
+
+    Two slim phases: (1) a zero-shuffle per-block combine — any id that
+    is not its fingerprint's BLOCK minimum is a loser outright (the
+    global minimum can only be ≤ the block minimum), and only one
+    (fingerprint, block-min) candidate row per distinct fingerprint per
+    block continues; (2) global minima over the candidates — computed
+    driver-side when the candidate set fits ``broadcast_limit``, else
+    via a bucketed fingerprint-hash shuffle of the slim candidates.
+
+    ``recover`` picks how losers are REMOVED: ``"broadcast"`` ships the
+    loser-id set once via ``ray.put`` (pure map filter, zero shuffle);
+    ``"join"`` never collects ids to the driver — Bloom anti prefilter
+    + exact ``left_anti`` on the sliver (driver load bounded by the
+    filter bits regardless of loser count); ``"auto"`` switches on
+    ``broadcast_limit``.
 
     Pass ``precomputed=True`` when the input ALREADY carries a
     ``fingerprint`` column (e.g. per-shard checkpoints) to skip
@@ -804,7 +823,7 @@ def fingerprint_dedup_slim(
     corpus made every later task in the session 3-4× slower at the
     500k-doc / 4 GB scale, and at 100 TB it simply doesn't fit).
     """
-    from .relational import broadcast_semi_join, bucketed_group_aggregate, hash_join
+    from .relational import broadcast_semi_join, partitions_for
 
     if recover not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown recover mode {recover!r}")
@@ -828,25 +847,117 @@ def fingerprint_dedup_slim(
         slim_input if slim_input is not None else with_fp
     ).select_columns([id_col, "fingerprint"])
 
-    def _local_min(b: pa.Table) -> pa.Table:
-        return b.group_by(["fingerprint"]).aggregate([(id_col, "min")])
+    min_col = f"{id_col}_min"
 
-    pre = slim.map_batches(_local_min, batch_format="pyarrow")
-    winners = bucketed_group_aggregate(
-        pre,
-        keys=["fingerprint"],
-        agg_specs=[(f"{id_col}_min", "min")],
-        rename={f"{id_col}_min_min": id_col},
-    ).select_columns([id_col]).materialize()
-    # count() on a materialized dataset is a metadata lookup, not a scan
-    if recover == "join" or (recover == "auto" and winners.count() > broadcast_limit):
-        return hash_join(
-            with_fp, winners, on=(id_col,), join_type="left_semi"
+    def _global_losers(tbl: pa.Table) -> pa.Table:
+        """Non-minimum ids per fingerprint within ``tbl`` (exhaustive
+        for whatever key range ``tbl`` covers).  One ``id_col`` column,
+        always present even when empty."""
+        agg = tbl.group_by(["fingerprint"]).aggregate([(id_col, "min")])
+        merged = tbl.join(
+            pa.table({"fingerprint": agg["fingerprint"], "_min": agg[min_col]}),
+            keys=["fingerprint"],
         )
-    tables = [t for t in ray.get(winners.to_arrow_refs()) if t.num_rows]
-    if not tables:  # empty input ⇒ no fingerprints ⇒ no winners
+        lose = merged.filter(pc.not_equal(merged[id_col], merged["_min"]))
+        return pa.table({id_col: lose[id_col].combine_chunks()})
+
+    def _block_combine(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["fingerprint"]).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        cand = pa.table(
+            {
+                id_col: agg[min_col],
+                "fingerprint": agg["fingerprint"],
+                "_loser": pa.array(np.zeros(agg.num_rows, dtype=bool)),
+            }
+        )
+        dup = agg.filter(pc.greater(agg[f"{id_col}_count"], 1))
+        if dup.num_rows == 0:
+            return cand
+        # only fingerprints duplicated WITHIN this block need the loser
+        # derivation — the common singleton case skips the block join
+        sub = b.filter(
+            pc.is_in(b["fingerprint"], value_set=pc.unique(dup["fingerprint"]))
+        )
+        lose = _global_losers(sub)
+        losers = pa.table(
+            {
+                id_col: lose[id_col],
+                "fingerprint": pa.nulls(lose.num_rows, pa.string()),
+                "_loser": pa.array(np.ones(lose.num_rows, dtype=bool)),
+            }
+        )
+        return pa.concat_tables([cand, losers])
+
+    combined = slim.map_batches(_block_combine, batch_format="pyarrow").materialize()
+    # count() on a materialized dataset is a metadata lookup, not a scan
+    if recover != "join" and combined.count() <= broadcast_limit:
+        # small corpus: finish everything driver-side in one Arrow
+        # group_by — zero additional Ray jobs before the anti filter
+        tables = [t for t in ray.get(combined.to_arrow_refs()) if t.num_rows]
+        if not tables:  # empty input ⇒ no fingerprints ⇒ no losers
+            return with_fp
+        all_t = pa.concat_tables(tables)
+        mask = all_t["_loser"].combine_chunks()
+        local_l = all_t.filter(mask)
+        cand_t = all_t.filter(pc.invert(mask)).select([id_col, "fingerprint"])
+        glob_l = _global_losers(cand_t)
+        loser_ids = pa.concat_arrays(
+            [local_l[id_col].combine_chunks(), glob_l[id_col].combine_chunks()]
+        )
+        if len(loser_ids) == 0:
+            return with_fp
+        return broadcast_semi_join(
+            with_fp, pa.table({id_col: loser_ids}), keys=[id_col], anti=True
+        )
+    # big corpus: bucketed fingerprint-hash shuffle over the slim
+    # CANDIDATES only (≤ one row per distinct fingerprint per block);
+    # in-block losers never enter the exchange
+    local_losers = combined.filter(expr="_loser == True").select_columns([id_col])
+    cands = combined.filter(expr="_loser == False").select_columns(
+        [id_col, "fingerprint"]
+    )
+    num_buckets = partitions_for(scale=1.0, minimum=32)
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        import os as _os
+
+        fp = b["fingerprint"].combine_chunks()
+        try:  # Rust-vectorized string hash (see bucketed_group_aggregate)
+            _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+            import polars as pl
+
+            h = pl.from_arrow(fp).hash(seed=0).to_numpy()
+            buckets = pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        except ImportError:  # pragma: no cover
+            import zlib
+
+            buckets = pa.array(
+                [zlib.crc32(x.encode()) % num_buckets for x in fp.to_pylist()],
+                pa.int32(),
+            )
+        return b.append_column("bucket", buckets)
+
+    glob_losers = (
+        cands.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _global_losers(g.select([id_col, "fingerprint"])),
+            batch_format="pyarrow",
+        )
+    )
+    losers = local_losers.union(glob_losers).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
         return with_fp
-    return broadcast_semi_join(with_fp, pa.concat_tables(tables), keys=[id_col])
+    if recover == "join" or n_losers > broadcast_limit:
+        # driver never sees ids: Bloom anti prefilter + exact left_anti
+        # on the sliver (drop_losers' 100-TB shape)
+        return drop_losers(with_fp, losers, id_col=id_col, loser_col=id_col)
+    tables = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
+    loser_tbl = pa.concat_tables(tables)
+    return broadcast_semi_join(with_fp, loser_tbl, keys=[id_col], anti=True)
 
 
 def near_dup_losers(
