@@ -129,7 +129,13 @@ class MinHashActor:
             minhash_signature(t or "", self.num_perm, self.k).tobytes()
             for t in batch[self.text_col].to_pylist()
         ]
-        return batch.append_column("minhash", pa.array(sigs, pa.binary()))
+        # large_binary (int64 offsets): when a pathological corpus makes
+        # candidate pairs explode, the signature-attach join output can
+        # exceed 2 GiB of payload per block — int32 binary offsets then
+        # overflow inside the NEXT hash-shuffle partition (ArrowInvalid:
+        # "offset overflow while concatenating arrays").  Acero accepts
+        # large_binary payloads, and the type can never overflow.
+        return batch.append_column("minhash", pa.array(sigs, pa.large_binary()))
 
 
 def _band_explode(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
@@ -272,6 +278,7 @@ def minhash_lsh_pairs(
     concurrency: int | tuple = (1, 4),
     stepwise: bool = True,
     max_bucket: int = MAX_BUCKET,
+    max_pair_ratio: float | None = 64.0,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → candidate pairs →
     signature joins → estimated Jaccard ≥ threshold.
@@ -280,7 +287,21 @@ def minhash_lsh_pairs(
     Shuffle shape: band rows carry (band_key, id) only; full signatures
     move exactly twice (once per pair side) keyed by id, not once per
     band.  ``stepwise`` materializes around the joins (tiny-cluster
-    deadlock guard; turn off on real clusters)."""
+    deadlock guard; turn off on real clusters).
+
+    ``max_pair_ratio`` is an LSH-adversarial-corpus guard (stepwise
+    mode only, where the pair count is free after the materialize): a
+    corpus whose documents are all mutually similar — tiny shared
+    vocabulary, boilerplate-dominated pages — collides essentially
+    every band bucket, and even with the ``max_bucket`` cap the
+    candidate count approaches buckets × C(cap, 2) ≫ |docs|.  The
+    signature-attach joins then ship pairs × 2 signatures — measured
+    to die mid-shuffle on a 500 k-doc/48-word-vocab corpus.  When
+    distinct candidates exceed ``max_pair_ratio × |docs|`` this raises
+    a RuntimeError naming the knobs (raise ``threshold``/``bands``
+    selectivity, lower ``max_bucket``, or pre-filter boilerplate)
+    instead of failing cryptically inside a shuffle.  ``None``
+    disables the guard."""
     sigs = ds.map_batches(
         MinHashActor,
         batch_format="pyarrow",
@@ -298,6 +319,19 @@ def minhash_lsh_pairs(
         fn_kwargs={"id_col": id_col, "max_bucket": max_bucket},
     )
     pairs = _distinct_pairs(cand.drop_columns(["truncated"]))
+    if stepwise and max_pair_ratio is not None:
+        pairs = pairs.materialize()
+        n_pairs, n_docs = pairs.count(), sigs.count()
+        if n_pairs > max_pair_ratio * max(n_docs, 1):
+            raise RuntimeError(
+                f"minhash_lsh_pairs: {n_pairs} candidate pairs for "
+                f"{n_docs} docs (> {max_pair_ratio}×) — the corpus is "
+                "LSH-adversarial (near-uniform similarity collides most "
+                "band buckets).  Raise the banding selectivity (fewer "
+                "bands / more rows per band), raise `threshold`, lower "
+                "`max_bucket`, or pre-filter boilerplate; "
+                "`max_pair_ratio=None` disables this guard."
+            )
     with_sigs = _attach_pair_column(
         pairs, sigs, id_col, "minhash", stepwise=stepwise
     )

@@ -26,18 +26,31 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = (
+# ~30k distinct words, like real prose — NOT a toy vocabulary.  A
+# 48-word vocab makes every pair of random docs share nearly all their
+# char-5-gram SETS (Jaccard ≈ 1), which is LSH-adversarial: every
+# MinHash band bucket collides and the candidate-pair count explodes
+# (measured: the 500k-doc near-dup run died in the signature-attach
+# shuffle).  Real corpora have heavy-tailed vocabularies; model that.
+_STEMS = (
     "the spark customer table data line batch stream window value key query "
     "row part column order hash vector agg big small fast slow alpha beta "
     "gamma delta shard block actor task node edge graph label token pack "
     "bucket probe merge scan"
 ).split()
+VOCAB = _STEMS + [f"{s}{i}" for i in range(750) for s in _STEMS]
 
 WORDS_PER_DOC = 1300  # ≈ 8 kB of text
 DUP_RATE = 0.03
 
 
-def _shard_table(shard: int, n_docs: int, shards: int, seed: int) -> pa.Table:
+def _shard_table(
+    shard: int,
+    n_docs: int,
+    shards: int,
+    seed: int,
+    near_dup_rate: float = 0.0,
+) -> pa.Table:
     lo = shard * n_docs // shards
     hi = (shard + 1) * n_docs // shards
     rng = np.random.RandomState(seed + shard)
@@ -54,6 +67,19 @@ def _shard_table(shard: int, n_docs: int, shards: int, seed: int) -> pa.Table:
     dup_pos = rng.randint(1, len(ids), n_dup)
     for p in dup_pos:
         texts[p] = texts[p - 1]
+    # NEAR duplicates (optional): copy a neighbour and perturb ~4% of
+    # its words — word-3-gram Jaccard ≈ 0.8, MinHash-estimated Jaccard
+    # well above the 0.5 default threshold, but NOT fingerprint-equal,
+    # so only the near-dup stage can collapse them
+    if near_dup_rate > 0:
+        n_near = int(len(ids) * near_dup_rate)
+        near_pos = rng.randint(1, len(ids), n_near)
+        for p in near_pos:
+            words = texts[p - 1].split()
+            edit = rng.randint(0, len(words), max(1, len(words) // 25))
+            for e in edit:
+                words[e] = VOCAB[rng.randint(0, len(VOCAB))]
+            texts[p] = " ".join(words)
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -62,7 +88,13 @@ def _shard_table(shard: int, n_docs: int, shards: int, seed: int) -> pa.Table:
     )
 
 
-def generate(out_dir: str, n_docs: int = 500_000, shards: int = 8, seed: int = 42) -> None:
+def generate(
+    out_dir: str,
+    n_docs: int = 500_000,
+    shards: int = 8,
+    seed: int = 42,
+    near_dup_rate: float = 0.0,
+) -> None:
     import ray
 
     if not ray.is_initialized():
@@ -77,7 +109,9 @@ def generate(out_dir: str, n_docs: int = 500_000, shards: int = 8, seed: int = 4
         # written as ONE group would be unsplittable — one read task
         # per shard no matter the cluster size
         pq.write_table(
-            _shard_table(shard, n_docs, shards, seed), path, row_group_size=4096
+            _shard_table(shard, n_docs, shards, seed, near_dup_rate),
+            path,
+            row_group_size=4096,
         )
         return path
 
@@ -89,4 +123,5 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kgray_curate_docs_big"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    generate(out, n, s)
+    nd = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    generate(out, n, s, near_dup_rate=nd)
