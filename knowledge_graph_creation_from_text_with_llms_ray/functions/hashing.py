@@ -94,6 +94,32 @@ def hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
+def word_shingles(text: str, w: int = 5) -> np.ndarray:
+    """Distinct w-WORD shingle hashes as uint64[n] (each < 2^32,
+    md5-le-4 of the space-joined gram — SQL-replicable).
+
+    The document-scale MinHash domain.  Char shingles draw from a
+    small character space, so two long random documents share most of
+    their distinct char-k-grams — baseline Jaccard is high and LSH
+    banding floods with candidate pairs (measured: a 500k-doc corpus
+    produced 198M candidates and died in the signature-attach
+    shuffle).  Word w-grams live in a vast space, so random-pair
+    similarity ≈ 0 — the property banding needs; public web-dedup
+    pipelines (SlimPajama, RefinedWeb) shingle on words for the same
+    reason.  Texts shorter than ``w`` words hash as one whole-text
+    shingle; empty/whitespace-only text has no shingles."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < w:
+        grams = {" ".join(toks)}
+    else:
+        grams = {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+    return np.unique(
+        np.fromiter((hash32(g) for g in grams), dtype=np.uint64, count=len(grams))
+    )
+
+
 # Fixed random linear-permutation parameters for minhash (generated once
 # from a fixed seed; stable across processes).
 def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -107,12 +133,21 @@ def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
 _MINHASH_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
-def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
-    """MinHash signature over k-char shingles → uint32[num_perm]."""
+def minhash_signature(
+    text: str, num_perm: int = 64, k: int = 5, shingle: str = "char"
+) -> np.ndarray:
+    """MinHash signature over k-char (``shingle="char"``) or k-word
+    (``shingle="word"``) shingles → uint32[num_perm].  Word mode is
+    the document-scale form — see ``word_shingles``."""
     if num_perm not in _MINHASH_CACHE:
         _MINHASH_CACHE[num_perm] = _minhash_params(num_perm)
     a, b = _MINHASH_CACHE[num_perm]
-    x = char_shingles(text, k)
+    if shingle == "char":
+        x = char_shingles(text, k)
+    elif shingle == "word":
+        x = word_shingles(text, k)
+    else:
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
     if len(x) == 0:
         return np.zeros(num_perm, dtype=np.uint32)
     # (a*x + b) mod p, min over shingles, folded to 32 bits

@@ -281,9 +281,17 @@ def run_curation(
             shutil.rmtree(dedup_dir, ignore_errors=True)
             deduped.write_parquet(dedup_dir, min_rows_per_file=out_rows_per_file)
             dd_files = sorted(glob.glob(os.path.join(dedup_dir, "*.parquet")))
+            # corpus-scale near-dup: let the signature/gram actor pool
+            # grow to most of the cluster — the default (1, 4) pool is
+            # tuned for the sub-second sf-bench corpora where actor
+            # startup dominates; here the pure-compute shingle stage is
+            # the wall and the rest of the cluster is idle under it
+            from ..stages.relational import _cluster_cpus
+
             losers = dedup.near_dup_losers(
                 ray.data.read_parquet(dd_files, columns=["doc_id", "text"]),
                 method=near_dup_method,
+                concurrency=(1, max(4, _cluster_cpus() - 2)),
             )
             # Bloom anti prefilter + exact left_anti on the sliver:
             # survivors (the vast majority) never enter the exchange

@@ -474,20 +474,21 @@ def dedup_minhash_sql(
     shingle_k: int = 5,
     threshold: float = 0.4,
     max_bucket: int = 256,
+    shingle: str = "char",
 ) -> str:
     rows_per_band = num_perm // bands
-    # windowed polynomial shingle hash + lowbias32 finalizer (matches
-    # hashing.char_shingles bit-for-bit): fold code points with base
-    # 257 mod 2^32, then two xor-shift-16 / *0x45d9f3b rounds and a
-    # final xor-shift — every product <= 2^58 (exact BIGINT)
-    poly = (
-        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(regexp_extract_all(g, '(?s).'), "
-        "c -> CAST(unicode(c) AS BIGINT))), "
-        "(h, c) -> h * 257 + c) % 4294967296)"
-    )
-    return f"""
-WITH sh_g AS (
+    if shingle == "char":
+        # windowed polynomial shingle hash + lowbias32 finalizer (matches
+        # hashing.char_shingles bit-for-bit): fold code points with base
+        # 257 mod 2^32, then two xor-shift-16 / *0x45d9f3b rounds and a
+        # final xor-shift — every product <= 2^58 (exact BIGINT)
+        poly = (
+            "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(regexp_extract_all(g, '(?s).'), "
+            "c -> CAST(unicode(c) AS BIGINT))), "
+            "(h, c) -> h * 257 + c) % 4294967296)"
+        )
+        shingle_cte = f"""sh_g AS (
   SELECT doc_id, unnest(
     CASE WHEN length(text) = 0 THEN []
          WHEN length(text) < {shingle_k} THEN [text]
@@ -501,7 +502,33 @@ sh_m1 AS (SELECT doc_id, (xor(p, p // 65536) * 73244475) % 4294967296 AS m FROM 
 sh_m2 AS (SELECT doc_id, (xor(m, m // 65536) * 73244475) % 4294967296 AS m FROM sh_m1),
 shv AS (
   SELECT DISTINCT doc_id, CAST(xor(m, m // 65536) AS BIGINT) AS x FROM sh_m2
+)"""
+    elif shingle == "word":
+        # k-WORD shingles, md5-le-4 gram hash (hashing.word_shingles):
+        # same tokenizer as the ngram oracle, whole-text gram when the
+        # doc has < k words, no shingles for empty/whitespace-only text
+        le4 = md5_le_int("h", 4)
+        toks = TOKENS.format(col="text")
+        shingle_cte = f"""sh_tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
 ),
+sh_g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN []
+         WHEN len(toks) < {shingle_k} THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, len(toks) - {shingle_k - 2}),
+                             i -> array_to_string(toks[i:i+{shingle_k - 1}], ' '))
+    END) AS g
+  FROM sh_tk
+),
+shv AS (
+  SELECT DISTINCT doc_id, {le4} AS x
+  FROM (SELECT doc_id, md5(g) AS h FROM sh_g)
+)"""
+    else:
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
+    return f"""
+WITH {shingle_cte},
 perms(j, a, b) AS (VALUES {_minhash_perm_values(num_perm)}),
 lanes AS (
   SELECT doc_id, j,

@@ -840,6 +840,17 @@ def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(ds, threshold=0.4, concurrency=(1, 8))
 
 
+def q_dedup_minhash_word(sf_dir: str):
+    """The document-scale MinHash form: k-WORD shingles (char shingles
+    flood LSH banding on full-page corpora — see
+    ``hashing.word_shingles``).  Same banding/threshold machinery,
+    value-exact word-mode SQL oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(
+        ds, threshold=0.4, concurrency=(1, 8), shingle="word", shingle_k=3
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup.simhash_pairs(ds, max_hamming=8)
@@ -1285,6 +1296,9 @@ def oracle_sql() -> dict[str, str]:
         "text_embed": oracle_text.text_embed_sql(),
         "dedup_ngram": oracle_text.dedup_ngram_sql(n=3, threshold=0.3),
         "dedup_minhash": oracle_text.dedup_minhash_sql(threshold=0.4),
+        "dedup_minhash_word": oracle_text.dedup_minhash_sql(
+            threshold=0.4, shingle="word", shingle_k=3
+        ),
         "dedup_simhash": oracle_text.dedup_simhash_sql(max_hamming=8),
         "dedup_embedding": oracle_text.dedup_embedding_sql(
             threshold=0.35, planes=6
@@ -1652,4 +1666,5 @@ def queries():
         "rel_asof_join_chunked": q_rel_asof_join_chunked,
         "rel_running_sum_chunked": q_rel_running_sum_chunked,
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
+        "dedup_minhash_word": q_dedup_minhash_word,
     }

@@ -115,18 +115,25 @@ class MinHashActor:
     """Signature computation as an actor pool: the permutation
     parameters build once per actor, batches stream through."""
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 5, text_col: str = "text"):
+    def __init__(
+        self,
+        num_perm: int = 64,
+        shingle_k: int = 5,
+        text_col: str = "text",
+        shingle: str = "char",
+    ):
         self.num_perm = num_perm
         self.k = shingle_k
         self.text_col = text_col
-        minhash_signature("warmup", num_perm, shingle_k)  # build param cache
+        self.shingle = shingle
+        minhash_signature("warmup", num_perm, shingle_k, shingle)  # build param cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # The signature is carried as a little-endian uint32 blob: joins
         # accept binary payload columns (Acero rejects fixed_size_list
         # non-key fields) and the blob is the leanest shuffle encoding.
         sigs = [
-            minhash_signature(t or "", self.num_perm, self.k).tobytes()
+            minhash_signature(t or "", self.num_perm, self.k, self.shingle).tobytes()
             for t in batch[self.text_col].to_pylist()
         ]
         # large_binary (int64 offsets): when a pathological corpus makes
@@ -279,10 +286,20 @@ def minhash_lsh_pairs(
     stepwise: bool = True,
     max_bucket: int = MAX_BUCKET,
     max_pair_ratio: float | None = 64.0,
+    shingle: str = "char",
+    shingle_k: int = 5,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → candidate pairs →
     signature joins → estimated Jaccard ≥ threshold.
     Output: (id_a, id_b, est_jaccard).
+
+    ``shingle="char"`` (default, k-char shingles) matches the original
+    short-text form; ``shingle="word"`` (k-WORD shingles) is the
+    document-scale mode — long random documents share most of their
+    char-k-grams, so char mode floods the banding on full-page
+    corpora; word grams make random-pair similarity ≈ 0 (see
+    ``functions.hashing.word_shingles``).  Both modes have value-exact
+    SQL oracles.
 
     Shuffle shape: band rows carry (band_key, id) only; full signatures
     move exactly twice (once per pair side) keyed by id, not once per
@@ -306,7 +323,12 @@ def minhash_lsh_pairs(
         MinHashActor,
         batch_format="pyarrow",
         concurrency=concurrency,
-        fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "text_col": text_col,
+            "shingle": shingle,
+            "shingle_k": shingle_k,
+        },
     ).select_columns([id_col, "minhash"])
     if stepwise:
         sigs = sigs.materialize()  # reused by banding AND both joins
@@ -1003,6 +1025,8 @@ def near_dup_losers(
     method: str = "ngram",
     num_perm: int = 64,
     bands: int = 16,
+    shingle: str = "word",
+    shingle_k: int = 5,
 ) -> ray.data.Dataset:
     """Near-duplicate NON-survivors: candidate pairs → connected
     components → every member except the cluster minimum.  One (node,)
@@ -1016,7 +1040,10 @@ def near_dup_losers(
     banding — the estimator the 100-TB form runs, where even capped
     exact gram buckets are too expensive (``threshold`` then applies
     to the signature-estimated Jaccard; tune with
-    ``num_perm``/``bands``)."""
+    ``num_perm``/``bands``).  The minhash path shingles on WORDS by
+    default (``shingle="word"``) — this is a whole-document API, and
+    char shingles flood LSH banding on full-page corpora (see
+    ``minhash_lsh_pairs``)."""
     docs = docs.select_columns(["doc_id", "text"])
     if method == "ngram":
         pairs = ngram_jaccard_pairs(
@@ -1029,6 +1056,8 @@ def near_dup_losers(
             concurrency=concurrency,
             num_perm=num_perm,
             bands=bands,
+            shingle=shingle,
+            shingle_k=shingle_k,
         )
     else:
         raise ValueError(f"unknown near-dup method {method!r}")

@@ -359,3 +359,44 @@ def test_cross_ngram_contamination_df_cap_bounds_hot_gram():
         train, ev, threshold=0.01, df_cap=5
     ).take_all()
     assert capped == []  # the only shared gram exceeded the cap on both sides
+
+
+def test_word_shingle_minhash_separates_small_vocab_longdocs():
+    """The LSH-adversarial case that killed the 500k run: long random
+    docs over a tiny vocabulary share most CHAR shingles (est_jaccard
+    high, banding floods) but almost no WORD shingles — word mode must
+    find planted near-dups and produce nothing for random pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vocab = np.array("the spark table data row key hash block node edge".split())
+    texts = [" ".join(vocab[rng.randint(0, len(vocab), 300)]) for _ in range(8)]
+    near = texts[0].split()
+    for e in rng.randint(0, len(near), 6):
+        near[e] = vocab[rng.randint(0, len(vocab))]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(8, " ".join(near))]
+    ds = _docs(rows)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            ds, threshold=0.5, concurrency=1, shingle="word", shingle_k=5
+        ).take_all()
+    }
+    assert (0, 8) in pairs and pairs[(0, 8)] >= 0.5  # planted near-dup
+    assert all(p == (0, 8) for p in pairs)  # random pairs never collide
+
+
+def test_minhash_char_mode_pair_explosion_guard():
+    """Char mode on the same corpus floods the banding — the stepwise
+    guard must raise a diagnostic instead of dying inside a shuffle."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vocab = np.array("the spark table data row key hash block node edge".split())
+    rows = [
+        (i, " ".join(vocab[rng.randint(0, len(vocab), 300)])) for i in range(40)
+    ]
+    with pytest.raises(RuntimeError, match="LSH-adversarial"):
+        dedup.minhash_lsh_pairs(
+            _docs(rows), threshold=0.5, concurrency=1, max_pair_ratio=1.0
+        ).materialize()
