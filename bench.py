@@ -103,6 +103,7 @@ def run_headline() -> dict:
     aux_median: dict[str, float] = {}
     for name in (
         "dedup_minhash",
+        "dedup_minhash_word",
         "dedup_ngram",
         "corpus_curate",
         "dedup_contamination",
