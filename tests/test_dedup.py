@@ -167,9 +167,11 @@ def test_minhash_empty_documents_never_pair():
     assert dedup.minhash_lsh_pairs(ds, threshold=0.1, concurrency=1).take_all() == []
 
 
-def test_connected_components_chain_and_star():
+@pytest.mark.parametrize("via", ["local", "distributed"])
+def test_connected_components_chain_and_star(via):
     """Label propagation must traverse multi-hop chains (several
-    iterations), not just direct neighbors."""
+    iterations), not just direct neighbors — on BOTH size-switch
+    paths (driver numpy and distributed joins)."""
     pairs = pa.table(
         {
             # chain 1-2-3-4-5 (built as consecutive pairs), star 10-(11,12),
@@ -180,7 +182,9 @@ def test_connected_components_chain_and_star():
     )
     out = {
         r["node"]: r["component"]
-        for r in dedup.connected_components(ray.data.from_arrow(pairs)).take_all()
+        for r in dedup.connected_components(
+            ray.data.from_arrow(pairs), via=via
+        ).take_all()
     }
     assert out == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
@@ -203,7 +207,7 @@ def test_connected_components_long_chain_converges():
     out = {
         r["node"]: r["component"]
         for r in dedup.connected_components(
-            ray.data.from_arrow(pairs), max_iters=12
+            ray.data.from_arrow(pairs), max_iters=12, via="distributed"
         ).take_all()
     }
     assert out == {i: 0 for i in range(n)}
@@ -220,10 +224,11 @@ def test_connected_components_nonconvergence_is_loud():
             "id_b": pa.array(list(range(1, n)), pa.int64()),
         }
     )
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        dedup.connected_components(
-            ray.data.from_arrow(pairs), max_iters=1
-        ).take_all()
+    for via in ("local", "distributed"):
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            dedup.connected_components(
+                ray.data.from_arrow(pairs), max_iters=1, via=via
+            ).take_all()
     labels = dedup.connected_components(
         ray.data.from_arrow(pairs), max_iters=1, on_nonconverged="warn"
     ).take_all()
@@ -232,6 +237,29 @@ def test_connected_components_nonconvergence_is_loud():
         dedup.connected_components(
             ray.data.from_arrow(pairs), on_nonconverged="nope"
         )
+    with pytest.raises(ValueError):
+        dedup.connected_components(ray.data.from_arrow(pairs), via="nope")
+
+
+def test_connected_components_paths_agree_random_graph():
+    """The driver numpy path and the distributed join path are twins:
+    identical labels on a random graph with chains, stars and isolated
+    pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 400, 600).astype(np.int64)
+    b = (a + rng.randint(1, 40, 600)).astype(np.int64)
+    pairs = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    res = {}
+    for via in ("local", "distributed"):
+        res[via] = sorted(
+            (r["node"], r["component"])
+            for r in dedup.connected_components(
+                ray.data.from_arrow(pairs), via=via
+            ).take_all()
+        )
+    assert res["local"] == res["distributed"]
 
 
 def test_fingerprint_slim_join_path_matches_broadcast():
