@@ -1027,6 +1027,7 @@ def near_dup_losers(
     bands: int = 16,
     shingle: str = "word",
     shingle_k: int = 5,
+    max_hamming: int = 3,
 ) -> ray.data.Dataset:
     """Near-duplicate NON-survivors: candidate pairs → connected
     components → every member except the cluster minimum.  One (node,)
@@ -1043,7 +1044,11 @@ def near_dup_losers(
     ``num_perm``/``bands``).  The minhash path shingles on WORDS by
     default (``shingle="word"``) — this is a whole-document API, and
     char shingles flood LSH banding on full-page corpora (see
-    ``minhash_lsh_pairs``)."""
+    ``minhash_lsh_pairs``).  ``method="simhash"`` is the CHEAPEST
+    100-TB form — one 64-bit hash per doc, banded pigeonhole buckets,
+    no signature joins at all; ``max_hamming`` (not ``threshold``)
+    sets the match radius.  Tighter than minhash: it catches
+    boilerplate-level near-dups, not 50%-overlap rewrites."""
     docs = docs.select_columns(["doc_id", "text"])
     if method == "ngram":
         pairs = ngram_jaccard_pairs(
@@ -1059,6 +1064,8 @@ def near_dup_losers(
             shingle=shingle,
             shingle_k=shingle_k,
         )
+    elif method == "simhash":
+        pairs = simhash_pairs(docs, max_hamming=max_hamming)
     else:
         raise ValueError(f"unknown near-dup method {method!r}")
     comps = connected_components(pairs)

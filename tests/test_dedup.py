@@ -428,3 +428,14 @@ def test_minhash_char_mode_pair_explosion_guard():
         dedup.minhash_lsh_pairs(
             _docs(rows), threshold=0.5, concurrency=1, max_pair_ratio=1.0
         ).materialize()
+
+
+def test_near_dup_losers_simhash_drops_identical():
+    """method='simhash' collapses identical/near-identical docs to the
+    min id through the same losers→components machinery."""
+    base = "alpha beta gamma delta epsilon zeta " * 30
+    ds = _docs([(1, base), (2, base), (3, "totally unrelated corpus words " * 30)])
+    losers = sorted(
+        r["node"] for r in dedup.near_dup_losers(ds, method="simhash").take_all()
+    )
+    assert losers == [2]

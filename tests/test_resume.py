@@ -218,3 +218,18 @@ def test_curation_near_dup_minhash_method(docs_shards, tmp_path):
     # same flag+method again: pure skip
     s2 = run_curation(docs_shards, wd, near_dup=True, near_dup_method="minhash")
     assert s2.get("final_skipped") is True and s2["rows"] == s_mh["rows"]
+
+
+def test_curation_near_dup_simhash_method(docs_shards, tmp_path):
+    """The simhash candidate generator (cheapest 100-TB form: one
+    64-bit hash per doc, no signature joins) also drives the near-dup
+    collapse, and a method switch re-finalizes."""
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd7")
+    s_ng = run_curation(docs_shards, wd, near_dup=True)
+    s_sh = run_curation(docs_shards, wd, near_dup=True, near_dup_method="simhash")
+    assert "final_skipped" not in s_sh and s_sh["shards_ran"] == []
+    assert 0 < s_sh["rows"]
+    s2 = run_curation(docs_shards, wd, near_dup=True, near_dup_method="simhash")
+    assert s2.get("final_skipped") is True and s2["rows"] == s_sh["rows"]
