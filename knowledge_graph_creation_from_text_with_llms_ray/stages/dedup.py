@@ -41,6 +41,11 @@ from ..functions.hashing import (
 # rather than silently dropped.
 MAX_BUCKET = 256
 
+# per-worker cache for the broadcast minhash signature matrix (the
+# similarity-stage task-pool economics: ray.put once, zero-copy read,
+# cached per worker process keyed by the ObjectRef hex)
+_MINHASH_BCAST_CACHE: dict[str, tuple] = {}
+
 
 def _keep_min_id_local(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """First row per text value within a block — vectorized: sort by
@@ -288,6 +293,7 @@ def minhash_lsh_pairs(
     max_pair_ratio: float | None = 64.0,
     shingle: str = "char",
     shingle_k: int = 5,
+    broadcast_max_docs: int | None = 1_000_000,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → candidate pairs →
     signature joins → estimated Jaccard ≥ threshold.
@@ -318,7 +324,17 @@ def minhash_lsh_pairs(
     a RuntimeError naming the knobs (raise ``threshold``/``bands``
     selectivity, lower ``max_bucket``, or pre-filter boilerplate)
     instead of failing cryptically inside a shuffle.  ``None``
-    disables the guard."""
+    disables the guard.
+
+    ``broadcast_max_docs`` size-switches the signature attach: up to
+    that many docs (~256 MB of uint32 lanes per million docs at
+    num_perm=64) the signature matrix broadcasts once via ``ray.put``
+    and the estimate runs as a zero-join vectorized lookup
+    (searchsorted on the sorted id axis) — the two fixed-cost hash
+    joins disappear.  Beyond the cap — the 100-TB regime, where the
+    signature table outgrows any single node — the two hash joins run
+    unchanged.  Broadcast needs ``stepwise`` (signatures already
+    materialized); ``None`` forces the join path."""
     sigs = ds.map_batches(
         MinHashActor,
         batch_format="pyarrow",
@@ -341,32 +357,91 @@ def minhash_lsh_pairs(
         fn_kwargs={"id_col": id_col, "max_bucket": max_bucket},
     )
     pairs = _distinct_pairs(cand.drop_columns(["truncated"]))
-    if stepwise and max_pair_ratio is not None:
+    n_docs = None
+    if stepwise:
         pairs = pairs.materialize()
-        n_pairs, n_docs = pairs.count(), sigs.count()
-        if n_pairs > max_pair_ratio * max(n_docs, 1):
-            raise RuntimeError(
-                f"minhash_lsh_pairs: {n_pairs} candidate pairs for "
-                f"{n_docs} docs (> {max_pair_ratio}×) — the corpus is "
-                "LSH-adversarial (near-uniform similarity collides most "
-                "band buckets).  Raise the banding selectivity (fewer "
-                "bands / more rows per band), raise `threshold`, lower "
-                "`max_bucket`, or pre-filter boilerplate; "
-                "`max_pair_ratio=None` disables this guard."
+        n_docs = sigs.count()
+        if max_pair_ratio is not None:
+            n_pairs = pairs.count()
+            if n_pairs > max_pair_ratio * max(n_docs, 1):
+                raise RuntimeError(
+                    f"minhash_lsh_pairs: {n_pairs} candidate pairs for "
+                    f"{n_docs} docs (> {max_pair_ratio}×) — the corpus is "
+                    "LSH-adversarial (near-uniform similarity collides most "
+                    "band buckets).  Raise the banding selectivity (fewer "
+                    "bands / more rows per band), raise `threshold`, lower "
+                    "`max_bucket`, or pre-filter boilerplate; "
+                    "`max_pair_ratio=None` disables this guard."
+                )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+
+    if (
+        stepwise
+        and broadcast_max_docs is not None
+        and n_docs is not None
+        and n_docs <= broadcast_max_docs
+    ):
+        ids_parts, sig_parts = [], []
+        for bt in sigs.iter_batches(batch_format="pyarrow"):
+            if bt.num_rows == 0:
+                continue
+            ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False))
+            sig_parts.append(
+                np.frombuffer(
+                    b"".join(bt["minhash"].to_pylist()), dtype=np.uint32
+                ).reshape(bt.num_rows, -1)
             )
+        if not ids_parts:
+            return ray.data.from_arrow(_empty())
+        ids_all = np.concatenate(ids_parts)
+        sig_all = np.vstack(sig_parts)
+        order = np.argsort(ids_all)
+        sig_ref = ray.put((ids_all[order], np.ascontiguousarray(sig_all[order])))
+
+        def _estimate_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty()
+            from .similarity import _broadcast_cached
+
+            ids_s, sig_s = _broadcast_cached(
+                _MINHASH_BCAST_CACHE, sig_ref, lambda v: v
+            )
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            last = len(ids_s) - 1
+            ia = np.minimum(np.searchsorted(ids_s, a), last)
+            ib = np.minimum(np.searchsorted(ids_s, b), last)
+            # pairs derive from banded signature rows, so every id must
+            # resolve — a miss means a broadcast/pair mismatch: fail loud
+            if not (np.array_equal(ids_s[ia], a) and np.array_equal(ids_s[ib], b)):
+                raise RuntimeError("minhash broadcast estimate: pair id missing")
+            est = (sig_s[ia] == sig_s[ib]).mean(axis=1)
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "est_jaccard": pa.array(est, pa.float64()),
+                }
+            )
+            return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+        return pairs.map_batches(_estimate_broadcast, batch_format="pyarrow")
+
     with_sigs = _attach_pair_column(
         pairs, sigs, id_col, "minhash", stepwise=stepwise
     )
 
     def _estimate(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
+            return _empty()
         sig_a = np.frombuffer(
             b"".join(batch["minhash_a"].to_pylist()), dtype=np.uint32
         ).reshape(batch.num_rows, -1)
