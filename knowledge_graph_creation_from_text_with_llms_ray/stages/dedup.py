@@ -245,6 +245,9 @@ def _distinct_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     return _pair_reduce(ds, [])
 
 
+_ATTACH_BCAST_CACHE: dict[str, tuple] = {}
+
+
 def _attach_pair_column(
     pairs: ray.data.Dataset,
     table: ray.data.Dataset,
@@ -252,11 +255,64 @@ def _attach_pair_column(
     value_col: str,
     num_partitions: int | None = None,
     stepwise: bool = True,
+    broadcast_max_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Join ``value_col`` onto both pair sides → ``<value>_a``,
     ``<value>_b`` (two hash joins — no driver-side materialization of
-    the value table)."""
+    the value table).
+
+    ``broadcast_max_rows`` (NUMERIC value columns only, requires
+    ``stepwise``) size-switches to a zero-join broadcast lookup when
+    the value table is small enough: sorted id axis + value vector via
+    ``ray.put``, searchsorted per pair batch — the two fixed-cost hash
+    joins disappear.  Beyond the cap the joins run unchanged (the
+    100-TB path)."""
     from .relational import hash_join
+
+    if broadcast_max_rows is not None and stepwise:
+        table = table.materialize()
+        if table.count() <= broadcast_max_rows:
+            ids_parts, val_parts = [], []
+            for bt in table.iter_batches(batch_format="pyarrow"):
+                if bt.num_rows == 0:
+                    continue
+                ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False))
+                val_parts.append(bt[value_col].to_numpy(zero_copy_only=False))
+            if not ids_parts:
+                return pairs.limit(0)
+            ids_all = np.concatenate(ids_parts)
+            order = np.argsort(ids_all)
+            ref = ray.put(
+                (ids_all[order], np.concatenate(val_parts)[order])
+            )
+
+            def _lookup(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return batch.append_column(
+                        f"{value_col}_a", pa.array([], pa.int64())
+                    ).append_column(f"{value_col}_b", pa.array([], pa.int64()))
+                from .similarity import _broadcast_cached
+
+                ids_s, vals_s = _broadcast_cached(
+                    _ATTACH_BCAST_CACHE, ref, lambda v: v
+                )
+                a = batch["id_a"].to_numpy(zero_copy_only=False)
+                b = batch["id_b"].to_numpy(zero_copy_only=False)
+                last = len(ids_s) - 1
+                ia = np.minimum(np.searchsorted(ids_s, a), last)
+                ib = np.minimum(np.searchsorted(ids_s, b), last)
+                if not (
+                    np.array_equal(ids_s[ia], a) and np.array_equal(ids_s[ib], b)
+                ):
+                    raise RuntimeError(
+                        f"_attach_pair_column broadcast: pair id missing "
+                        f"from the {value_col} table"
+                    )
+                return batch.append_column(
+                    f"{value_col}_a", pa.array(vals_s[ia])
+                ).append_column(f"{value_col}_b", pa.array(vals_s[ib]))
+
+            return pairs.map_batches(_lookup, batch_format="pyarrow")
 
     def _renamer(mapping):
         def _fn(b: pa.Table) -> pa.Table:
@@ -655,8 +711,11 @@ def ngram_jaccard_pairs(
         [("one", "sum")],
         rename={"one_sum": "inter"},
     )
+    # gram-count sides are one int64 per doc — broadcastable far past
+    # any corpus that fits this path's exact-gram buckets
     with_sizes = _attach_pair_column(
-        inter, sizes, id_col, "n_grams", stepwise=stepwise
+        inter, sizes, id_col, "n_grams", stepwise=stepwise,
+        broadcast_max_rows=4_000_000,
     )
 
     def _jaccard(batch: pa.Table) -> pa.Table:
