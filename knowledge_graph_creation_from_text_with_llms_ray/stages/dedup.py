@@ -853,9 +853,54 @@ def cross_ngram_contamination(
         [("one", "sum")],
         rename={"one_sum": "inter"},
     )
-    joined = hash_join(
-        inter, sizes_e, on=("id_b",), right_on=("id",), stepwise=stepwise
-    )
+    # eval benchmarks are small by definition — broadcast the per-doc
+    # gram counts (one int64 each) and attach with a vectorized lookup
+    # instead of a fixed-cost hash join; a >4M-doc eval side falls back
+    # to the distributed join
+    joined = None
+    if stepwise:
+        sizes_mat = sizes_e.materialize()
+        if sizes_mat.count() <= 4_000_000:
+            ids_parts, val_parts = [], []
+            for bt in sizes_mat.iter_batches(batch_format="pyarrow"):
+                if bt.num_rows == 0:
+                    continue
+                ids_parts.append(bt["id"].to_numpy(zero_copy_only=False))
+                val_parts.append(bt["ng_eval"].to_numpy(zero_copy_only=False))
+            if not ids_parts:
+                joined = inter.limit(0)
+            else:
+                ids_all = np.concatenate(ids_parts)
+                order = np.argsort(ids_all)
+                ref = ray.put((ids_all[order], np.concatenate(val_parts)[order]))
+
+                def _attach_ng(batch: pa.Table) -> pa.Table:
+                    if batch.num_rows == 0:
+                        return batch.append_column(
+                            "ng_eval", pa.array([], pa.int64())
+                        )
+                    from .similarity import _broadcast_cached
+
+                    ids_s, vals_s = _broadcast_cached(
+                        _ATTACH_BCAST_CACHE, ref, lambda v: v
+                    )
+                    b_ids = batch["id_b"].to_numpy(zero_copy_only=False)
+                    ib = np.minimum(
+                        np.searchsorted(ids_s, b_ids), len(ids_s) - 1
+                    )
+                    if not np.array_equal(ids_s[ib], b_ids):
+                        raise RuntimeError(
+                            "contamination broadcast: eval id missing"
+                        )
+                    return batch.append_column("ng_eval", pa.array(vals_s[ib]))
+
+                joined = inter.map_batches(_attach_ng, batch_format="pyarrow")
+        else:
+            sizes_e = sizes_mat
+    if joined is None:
+        joined = hash_join(
+            inter, sizes_e, on=("id_b",), right_on=("id",), stepwise=stepwise
+        )
 
     def _containment(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
