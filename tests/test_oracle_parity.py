@@ -373,3 +373,36 @@ def test_token_windows_oracle_parity(texts):
             win = toks[s : s + size]
             want[(i, w)] = (s, len(win), " ".join(win))
     assert got == want, texts
+
+
+@settings(max_examples=8, deadline=None)
+@given(_WS_TEXTS)
+def test_minhash_word_oracle_parity(texts):
+    """Word-shingle mode: the SQL word-gram CTE (TOKENS tokenizer +
+    md5-le-4 gram hash) must agree with hashing.word_shingles through
+    the full banding on arbitrary docs, including the exotic
+    whitespace Python str.split() folds."""
+    threshold = 0.4
+    con = _con(texts)
+    df = con.execute(
+        oracle_text.dedup_minhash_sql(threshold=threshold, shingle="word", shingle_k=3)
+    ).fetchdf()
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in df.itertuples()}
+    sigs = {
+        i: minhash_signature(t, k=3, shingle="word") for i, t in enumerate(texts)
+    }
+    buckets: dict = {}
+    for i in sorted(sigs):
+        if not texts[i].split():  # no words → no shingles → no SQL rows
+            continue
+        for key in lsh_band_keys(sigs[i], 16):
+            buckets.setdefault(key, []).append(i)
+    want = {}
+    for mem in buckets.values():
+        mem = sorted(mem)[:256]
+        for xi, x in enumerate(mem):
+            for y in mem[xi + 1 :]:
+                est = float(np.mean(sigs[x] == sigs[y]))
+                if est >= threshold:
+                    want[(x, y)] = est
+    assert got == want, texts
