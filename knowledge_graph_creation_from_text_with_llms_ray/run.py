@@ -129,7 +129,14 @@ def main(argv=None):
 
         from .pipelines.curate import run_curation
 
-        summary = run_curation(cfg.input_path, cfg.workdir)
+        cur = cfg.raw.get("curator", {})
+        summary = run_curation(
+            cfg.input_path,
+            cfg.workdir,
+            weights=cur.get("split_weights"),
+            near_dup=bool(cur.get("near_dup", False)),
+            near_dup_method=cur.get("near_dup_method", "ngram"),
+        )
         print(json.dumps(summary))
         return summary
 

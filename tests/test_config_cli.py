@@ -94,3 +94,33 @@ def test_cli_curate_mode(tmp_path):
     out = pq.read_table(os.path.join(wd, "corpus"))
     assert summary["rows"] == out.num_rows > 0
     assert set(out.column_names) == {"doc_id", "text", "fingerprint", "split"}
+
+
+def test_cli_curate_mode_near_dup_yaml(tmp_path):
+    """curator: near_dup options in the YAML reach run_curation — the
+    near-dup collapse and split weights run from the CLI."""
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    pq.write_table(docs, str(corpus / "part-0.parquet"))
+    wd = str(tmp_path / "wd")
+    cfg_path = _write_cfg(tmp_path, str(corpus), wd, mode="curate")
+    import yaml as _yaml
+
+    raw = _yaml.safe_load(open(cfg_path))
+    raw["curator"] = {
+        "near_dup": True,
+        "near_dup_method": "simhash",
+        "split_weights": {"train": 9, "val": 1},
+    }
+    open(cfg_path, "w").write(_yaml.safe_dump(raw))
+    summary = main(["--config", cfg_path, "--mode", "curate"])
+    out = pq.read_table(os.path.join(wd, "corpus"))
+    assert summary["rows"] == out.num_rows > 0
+    assert set(out["split"].to_pylist()) <= {"train", "val"}
+    from knowledge_graph_creation_from_text_with_llms_ray.state import lineage
+
+    man = lineage.load_manifest(wd, "final", 0)
+    assert man["near_dup"] is True and man["near_dup_method"] == "simhash"
