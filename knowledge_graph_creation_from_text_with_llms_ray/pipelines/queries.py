@@ -1192,6 +1192,16 @@ def q_mm_features(sf_dir: str):
     )
 
 
+def q_mm_resize(sf_dir: str):
+    """Aspect-preserving fit-within-224 resize plan over the media
+    rows — integer arithmetic, value-exact SQL oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = multimodal.attach_fake_payloads(ds)
+    return multimodal.resize_plan(media, max_w=224, max_h=224).select_columns(
+        ["media_id", "width", "height", "new_width", "new_height"]
+    )
+
+
 def q_mm_frame_sample(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = multimodal.attach_fake_payloads(ds)
@@ -1529,6 +1539,21 @@ FROM documents""",
 SELECT doc_id AS media_id, CAST(f AS INT) AS frame_index
 FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) v,
      unnest(generate_series(0, v.n - 1, 8)) AS t(f)""",
+        "mm_resize": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS w,
+         CAST(64 + (doc_id % 5) * 32 AS BIGINT) AS h
+  FROM documents
+)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(CASE WHEN w <= 224 AND h <= 224 THEN w
+            WHEN w * 224 >= h * 224 THEN 224
+            ELSE (w * 224) // h END AS INT) AS new_width,
+  CAST(CASE WHEN w <= 224 AND h <= 224 THEN h
+            WHEN w * 224 >= h * 224 THEN (h * 224) // w
+            ELSE 224 END AS INT) AS new_height
+FROM m""",
     }
     # the chunked window implementations share their originals' oracles
     out["rel_sessionize_chunked"] = out["rel_sessionize"]
@@ -1667,4 +1692,5 @@ def queries():
         "rel_running_sum_chunked": q_rel_running_sum_chunked,
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
         "dedup_minhash_word": q_dedup_minhash_word,
+        "mm_resize": q_mm_resize,
     }

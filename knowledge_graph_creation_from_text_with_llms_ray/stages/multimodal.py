@@ -118,6 +118,37 @@ def decode_features(
     )
 
 
+def resize_plan(
+    ds: ray.data.Dataset, max_w: int = 224, max_h: int = 224
+) -> ray.data.Dataset:
+    """Fit-within-box resize planning: integer aspect-preserving target
+    dims per media row (``new_width``/``new_height``), payload and
+    original dims untouched.  Pure INTEGER arithmetic (floor division)
+    so the plan is deterministic and SQL-replicable; the pixel
+    resample itself would run inside ``MediaDecodeActor`` next to the
+    codec (import-gated here like the decode).  Vectorized — one numpy
+    pass per batch, zero shuffle."""
+
+    def _plan(batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fits = (w <= max_w) & (h <= max_h)
+        # limiting dimension by cross-multiplication (no floats):
+        # width-limited when w*max_h >= h*max_w
+        width_limited = w * max_h >= h * max_w
+        new_w = np.where(
+            fits, w, np.where(width_limited, max_w, (w * max_h) // np.maximum(h, 1))
+        )
+        new_h = np.where(
+            fits, h, np.where(width_limited, (h * max_w) // np.maximum(w, 1), max_h)
+        )
+        return batch.append_column(
+            "new_width", pa.array(new_w.astype(np.int32))
+        ).append_column("new_height", pa.array(new_h.astype(np.int32)))
+
+    return ds.map_batches(_plan, batch_format="pyarrow")
+
+
 def frame_sample(
     ds: ray.data.Dataset, every_nth: int = 8
 ) -> ray.data.Dataset:

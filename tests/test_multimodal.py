@@ -67,3 +67,29 @@ def test_frame_sample_only_videos():
         assert r["frame_index"] < src["n_frames"]
     video_ids = {i for i, r in media_rows.items() if r["media_type"] == "video"}
     assert {r["media_id"] for r in frames} == video_ids
+
+
+def test_resize_plan_aspect_math():
+    """Fit-within-box plan: landscape, portrait, and already-fits rows;
+    integer floor division, aspect preserved."""
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import multimodal
+
+    rows = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "width": pa.array([640, 100, 200], pa.int32()),   # landscape, portrait, fits
+            "height": pa.array([360, 500, 224], pa.int32()),
+        }
+    )
+    out = {
+        r["media_id"]: (r["new_width"], r["new_height"])
+        for r in multimodal.resize_plan(
+            ray.data.from_arrow(rows), max_w=224, max_h=224
+        ).take_all()
+    }
+    assert out[1] == (224, 360 * 224 // 640)  # width-limited
+    assert out[2] == (100 * 224 // 500, 224)  # height-limited
+    assert out[3] == (200, 224)               # already fits: untouched
