@@ -1444,7 +1444,20 @@ def connected_components(
 
     from .relational import hash_join
 
+    from .relational import _cluster_cpus, partitions_for
+
+    # Loop-join geometry: hash_join's defaults are tuned for one-shot
+    # small-query joins (4 partitions, stepwise re-materialization of
+    # both inputs).  Inside the iteration both inputs are ALREADY
+    # materialized each round and the joins carry the full edge list —
+    # measured at 800k edges / 32 CPUs, the defaults cost ~80 s/round.
+    # Scale the partition count with the cluster and skip the stepwise
+    # re-materialization on sessions big enough to be deadlock-free
+    # (the <16-CPU guard keeps the documented tiny-cluster mitigation).
+    loop_partitions = partitions_for(scale=0.5, minimum=4)
+    loop_stepwise = _cluster_cpus() < 16
     converged = False
+    old_sum = labels.sum("lbl")
     for _ in range(max_iters):
         # propagate: each node's new label = min over neighbors' labels
         # and its own; neighbor labels come from one hash join of the
@@ -1458,14 +1471,21 @@ def connected_components(
                 batch_format="pyarrow",
             ),
             on=("nbr",),
+            num_partitions=loop_partitions,
+            stepwise=loop_stepwise,
         )
         candidates = nbr_lbl.map_batches(
             lambda b: pa.table({"node": b["node"], "lbl": b["nbr_lbl"]}),
             batch_format="pyarrow",
         ).union(labels)
         propagated = pre_aggregated(
-            candidates, keys=["node"], aggs={"lbl": "lbl:min"}
+            candidates, keys=["node"], aggs={"lbl": "lbl:min"},
+            num_partitions=loop_partitions,
         )
+        if not loop_stepwise:
+            # one materialization feeds both sides of the jump join —
+            # without it the propagate chain executes twice
+            propagated = propagated.materialize()
         # pointer jumping: shortcut node → lbl → lbl's own label.  A
         # label is always a node id present in the graph (it is the
         # min over a reachable set of node ids) and every node has a
@@ -1483,6 +1503,8 @@ def connected_components(
                 batch_format="pyarrow",
             ),
             on=("lbl",),
+            num_partitions=loop_partitions,
+            stepwise=loop_stepwise,
         )
         new_labels = jumped.map_batches(
             lambda b: pa.table(
@@ -1491,12 +1513,12 @@ def connected_components(
             batch_format="pyarrow",
         ).materialize()
         # convergence: total label sum strictly decreases until fixpoint
-        old_sum = labels.sum("lbl")
         new_sum = new_labels.sum("lbl")
         labels = new_labels
         if old_sum == new_sum:
             converged = True
             break
+        old_sum = new_sum
 
     if not converged:
         msg = (
