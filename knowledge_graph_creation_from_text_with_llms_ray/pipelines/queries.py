@@ -302,6 +302,40 @@ def q_rel_q1(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_rel_pivot(sf_dir: str):
+    """Pivoted (wide) aggregation: revenue by return flag, one column
+    per line status — per-batch masked partials collapse before the
+    single small groupby (`relational.pivot_aggregate`)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def _cents(b: pa.Table) -> pa.Table:
+        # fixed-point cents: integer sums are reduction-order-exact
+        # (the rel_q1 oracle discipline)
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["l_extendedprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "price_c": c,
+            }
+        )
+
+    out = relational.pivot_aggregate(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        pivot_col="l_linestatus",
+        value_col="price_c",
+        categories=["O", "F"],
+    )
+    return out.sort("l_returnflag")
+
+
 def q_rel_q6(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1539,6 +1573,16 @@ FROM documents""",
 SELECT doc_id AS media_id, CAST(f AS INT) AS frame_index
 FROM (SELECT doc_id, 16 + doc_id % 64 AS n FROM documents WHERE doc_id % 3 = 2) v,
      unnest(generate_series(0, v.n - 1, 8)) AS t(f)""",
+        "rel_pivot": """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN price_c ELSE 0 END) AS BIGINT) AS O_sum,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN price_c ELSE 0 END) AS BIGINT) AS F_sum
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
         "mm_resize": """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -1693,4 +1737,5 @@ def queries():
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
         "dedup_minhash_word": q_dedup_minhash_word,
         "mm_resize": q_mm_resize,
+        "rel_pivot": q_rel_pivot,
     }

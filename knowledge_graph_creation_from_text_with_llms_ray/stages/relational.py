@@ -961,3 +961,66 @@ def approx_distinct_registers(
         keys=["bucket"],
         aggs={"register": "rho:max"},
     )
+
+
+def pivot_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+    agg: str = "sum",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Wide (pivoted) aggregation: one output column per ``categories``
+    entry, ``<category>_<agg>`` = agg of ``value_col`` over the rows
+    whose ``pivot_col`` equals that category.
+
+    Shuffle shape: each block collapses to ≤ |keys-cardinality| rows of
+    |categories| masked partials BEFORE the exchange (per-batch Arrow
+    group_by over conditional columns), then one small groupby merges —
+    the classic conditional-aggregation pivot, never a per-category
+    pass over the data.  ``categories`` must be given explicitly: a
+    data-dependent column set would make the output schema depend on
+    which blocks a partition saw (and an unexpected category is a
+    pipeline bug, not a schema change) — rows outside ``categories``
+    are ignored.  ``agg`` ∈ sum | count."""
+    if agg not in ("sum", "count"):
+        raise ValueError(f"pivot agg must be sum|count, got {agg!r}")
+    import numpy as np
+
+    cat_cols = {c: f"{c}_{agg}" for c in categories}
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        piv = batch[pivot_col].to_numpy(zero_copy_only=False)
+        # integer value columns sum exactly (order-independent — the
+        # fixed-point-cents discipline of the oracle queries); floats
+        # sum as float64 with the usual reduction-order caveat
+        if agg == "sum":
+            vt = batch[value_col].type
+            exact = pa.types.is_integer(vt)
+            val = batch[value_col].cast(
+                pa.int64() if exact else pa.float64()
+            ).to_numpy(zero_copy_only=False)
+        else:
+            exact = True
+            val = np.ones(batch.num_rows, dtype=np.int64)
+        zero = 0 if exact else 0.0
+        out_type = pa.int64() if exact else pa.float64()
+        cols = {k: batch[k] for k in keys}
+        for c, out_name in cat_cols.items():
+            cols[out_name] = pa.array(np.where(piv == c, val, zero), out_type)
+        return (
+            pa.table(cols)
+            .group_by(keys)
+            .aggregate([(n, "sum") for n in cat_cols.values()])
+            .rename_columns(keys + list(cat_cols.values()))
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return pre_aggregated(
+        partials,
+        keys=keys,
+        aggs={n: f"{n}:sum" for n in cat_cols.values()},
+        num_partitions=num_partitions,
+    )

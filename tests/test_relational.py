@@ -372,3 +372,43 @@ def test_tdigest_grouped_rank_accuracy():
             est = out[(k, round(q, 4))]
             true_rank = float(np.mean(sub <= est))
             assert abs(true_rank - q) <= 0.02, (k, q, est, true_rank)
+
+
+def test_pivot_aggregate_sum_and_count():
+    """Wide conditional aggregation: per-category masked partials,
+    exact integer sums, unknown categories ignored, count mode."""
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b", "a"]),
+            "p": pa.array(["x", "y", "x", "z", "x"]),
+            "v": pa.array([1, 2, 3, 4, 10], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = {
+        r["k"]: (r["x_sum"], r["y_sum"])
+        for r in relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v", categories=["x", "y"]
+        ).take_all()
+    }
+    assert got == {"a": (11, 2), "b": (3, 0)}  # 'z' rows ignored
+    cnt = {
+        r["k"]: (r["x_count"], r["y_count"])
+        for r in relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v",
+            categories=["x", "y"], agg="count",
+        ).take_all()
+    }
+    assert cnt == {"a": (2, 1), "b": (1, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v",
+            categories=["x"], agg="avg",
+        )
