@@ -336,6 +336,16 @@ def q_rel_pivot(sf_dir: str):
     return out.sort("l_returnflag")
 
 
+def q_rel_unpivot(sf_dir: str):
+    """Melt the pivoted revenue table back to long form — the
+    pivot → unpivot round trip (zero-shuffle per-batch reshape)."""
+    wide = q_rel_pivot(sf_dir)
+    out = relational.unpivot(
+        wide, keys=["l_returnflag"], value_cols=["O_sum", "F_sum"]
+    )
+    return out.sort(["l_returnflag", "variable"])
+
+
 def q_rel_q6(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1583,6 +1593,23 @@ SELECT l_returnflag,
        CAST(sum(CASE WHEN l_linestatus = 'O' THEN price_c ELSE 0 END) AS BIGINT) AS O_sum,
        CAST(sum(CASE WHEN l_linestatus = 'F' THEN price_c ELSE 0 END) AS BIGINT) AS F_sum
 FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "rel_unpivot": """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+),
+w AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN price_c ELSE 0 END) AS BIGINT) AS O_sum,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN price_c ELSE 0 END) AS BIGINT) AS F_sum
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, variable, CAST(value AS DOUBLE) AS value FROM (
+  SELECT l_returnflag, 'O_sum' AS variable, O_sum AS value FROM w
+  UNION ALL
+  SELECT l_returnflag, 'F_sum' AS variable, F_sum AS value FROM w
+) ORDER BY l_returnflag, variable""",
         "mm_resize": """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -1738,4 +1765,5 @@ def queries():
         "dedup_minhash_word": q_dedup_minhash_word,
         "mm_resize": q_mm_resize,
         "rel_pivot": q_rel_pivot,
+        "rel_unpivot": q_rel_unpivot,
     }

@@ -1024,3 +1024,36 @@ def pivot_aggregate(
         aggs={n: f"{n}:sum" for n in cat_cols.values()},
         num_partitions=num_partitions,
     )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Melt wide → long: one output row per (input row, value column),
+    ``var_name`` holding the source column name.  Pure per-batch Arrow
+    reshape (column slices concatenated, keys repeated via take) —
+    zero shuffle, embarrassingly parallel, the inverse of
+    ``pivot_aggregate``."""
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(list(range(n)) * len(value_cols), pa.int64())
+        cols = {k: pc.take(batch[k], idx) for k in keys}
+        cols[var_name] = pa.array(
+            [c for c in value_cols for _ in range(n)], pa.string()
+        )
+        cols[value_name] = pa.concat_arrays(
+            [
+                pc.cast(batch[c], pa.float64()).combine_chunks()
+                for c in value_cols
+            ]
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")

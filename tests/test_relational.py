@@ -412,3 +412,34 @@ def test_pivot_aggregate_sum_and_count():
             ds, keys=["k"], pivot_col="p", value_col="v",
             categories=["x"], agg="avg",
         )
+
+
+def test_unpivot_roundtrip():
+    """pivot → unpivot round trip: every (key, category) value lands in
+    exactly one long row; keys replicate per value column."""
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+    wide = pa.table(
+        {
+            "k": pa.array(["a", "b"]),
+            "x_sum": pa.array([11, 3], pa.int64()),
+            "y_sum": pa.array([2, 0], pa.int64()),
+        }
+    )
+    got = sorted(
+        (r["k"], r["variable"], r["value"])
+        for r in relational.unpivot(
+            ray.data.from_arrow(wide), keys=["k"], value_cols=["x_sum", "y_sum"]
+        ).take_all()
+    )
+    assert got == [
+        ("a", "x_sum", 11.0), ("a", "y_sum", 2.0),
+        ("b", "x_sum", 3.0), ("b", "y_sum", 0.0),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        relational.unpivot(ray.data.from_arrow(wide), keys=["k"], value_cols=[])
