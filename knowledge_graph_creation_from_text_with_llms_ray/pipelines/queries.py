@@ -302,18 +302,16 @@ def q_rel_q1(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def q_rel_pivot(sf_dir: str):
-    """Pivoted (wide) aggregation: revenue by return flag, one column
-    per line status — per-batch masked partials collapse before the
-    single small groupby (`relational.pivot_aggregate`)."""
+def _pivot_cents_input(sf_dir: str):
+    """(l_returnflag, l_linestatus, price_c) in fixed-point cents —
+    the shared input of the pivot queries (integer aggregates are
+    reduction-order-exact; the rel_q1 oracle discipline)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
     )
 
     def _cents(b: pa.Table) -> pa.Table:
-        # fixed-point cents: integer sums are reduction-order-exact
-        # (the rel_q1 oracle discipline)
         c = pc.cast(
             pc.floor(pc.add(pc.multiply(b["l_extendedprice"], 100.0), 0.5)),
             pa.int64(),
@@ -326,14 +324,40 @@ def q_rel_pivot(sf_dir: str):
             }
         )
 
+    return ds.map_batches(_cents, batch_format="pyarrow")
+
+
+def q_rel_pivot(sf_dir: str):
+    """Pivoted (wide) aggregation: revenue by return flag, one column
+    per line status — per-batch masked partials collapse before the
+    single small groupby (`relational.pivot_aggregate`)."""
     out = relational.pivot_aggregate(
-        ds.map_batches(_cents, batch_format="pyarrow"),
+        _pivot_cents_input(sf_dir),
         keys=["l_returnflag"],
         pivot_col="l_linestatus",
         value_col="price_c",
         categories=["O", "F"],
     )
     return out.sort("l_returnflag")
+
+
+def q_rel_pivot_minmax(sf_dir: str):
+    """Pivoted min AND max per category — the NULL-identity masked
+    partial (absent categories stay NULL like SQL's ``MIN(CASE``);
+    two pivots merged by one small hash join on the group key."""
+    cents = _pivot_cents_input(sf_dir)
+    lo = relational.pivot_aggregate(
+        cents, keys=["l_returnflag"], pivot_col="l_linestatus",
+        value_col="price_c", categories=["O", "F"], agg="min",
+    )
+    hi = relational.pivot_aggregate(
+        cents, keys=["l_returnflag"], pivot_col="l_linestatus",
+        value_col="price_c", categories=["O", "F"], agg="max",
+    )
+    out = relational.hash_join(lo, hi, on=("l_returnflag",))
+    return out.sort("l_returnflag").select_columns(
+        ["l_returnflag", "O_min", "F_min", "O_max", "F_max"]
+    )
 
 
 def q_rel_unpivot(sf_dir: str):
@@ -1593,6 +1617,18 @@ SELECT l_returnflag,
        CAST(sum(CASE WHEN l_linestatus = 'O' THEN price_c ELSE 0 END) AS BIGINT) AS O_sum,
        CAST(sum(CASE WHEN l_linestatus = 'F' THEN price_c ELSE 0 END) AS BIGINT) AS F_sum
 FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "rel_pivot_minmax": """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN l_linestatus = 'O' THEN price_c END) AS BIGINT) AS O_min,
+       CAST(min(CASE WHEN l_linestatus = 'F' THEN price_c END) AS BIGINT) AS F_min,
+       CAST(max(CASE WHEN l_linestatus = 'O' THEN price_c END) AS BIGINT) AS O_max,
+       CAST(max(CASE WHEN l_linestatus = 'F' THEN price_c END) AS BIGINT) AS F_max
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
         "rel_unpivot": """
 WITH c AS (
   SELECT l_returnflag, l_linestatus,
@@ -1766,4 +1802,5 @@ def queries():
         "rel_asof_join_chunked": q_rel_asof_join_chunked,
         "rel_running_sum_chunked": q_rel_running_sum_chunked,
         "dedup_fingerprint_slim": q_dedup_fingerprint_slim,
+        "rel_pivot_minmax": q_rel_pivot_minmax,
     }

@@ -984,44 +984,72 @@ def pivot_aggregate(
     data-dependent column set would make the output schema depend on
     which blocks a partition saw (and an unexpected category is a
     pipeline bug, not a schema change) — rows outside ``categories``
-    are ignored.  ``agg`` ∈ sum | count."""
-    if agg not in ("sum", "count"):
-        raise ValueError(f"pivot agg must be sum|count, got {agg!r}")
+    are ignored.  ``agg`` ∈ sum | count | min | max.
+
+    Null semantics match ``<AGG>(CASE WHEN pivot=c THEN value END)``:
+    null values never contribute to sum/min/max (a null value under a
+    matching category is skipped, not propagated); ``count`` counts
+    matching ROWS (``COUNT(CASE WHEN pivot=c THEN 1 END)``).  min/max
+    of a category with no (non-null) rows is NULL, like SQL; sum/count
+    yield 0 there (the masked-partial identity — the documented
+    divergence from SQL's NULL-sum, covered by COALESCE in the
+    oracles)."""
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"pivot agg must be sum|count|min|max, got {agg!r}")
     import numpy as np
 
     cat_cols = {c: f"{c}_{agg}" for c in categories}
 
     def _partial(batch: pa.Table) -> pa.Table:
         piv = batch[pivot_col].to_numpy(zero_copy_only=False)
-        # integer value columns sum exactly (order-independent — the
-        # fixed-point-cents discipline of the oracle queries); floats
-        # sum as float64 with the usual reduction-order caveat
-        if agg == "sum":
+        if agg in ("sum", "min", "max"):
             vt = batch[value_col].type
+            # integer value columns aggregate exactly (order-independent
+            # — the fixed-point-cents discipline of the oracle queries);
+            # floats sum as float64 with the usual reduction-order caveat
             exact = pa.types.is_integer(vt)
-            val = batch[value_col].cast(
-                pa.int64() if exact else pa.float64()
-            ).to_numpy(zero_copy_only=False)
-        else:
+            out_type = pa.int64() if exact else pa.float64()
+            vals = batch[value_col].cast(out_type)
+        else:  # count: rows matching the category, value nulls included
             exact = True
-            val = np.ones(batch.num_rows, dtype=np.int64)
-        zero = 0 if exact else 0.0
-        out_type = pa.int64() if exact else pa.float64()
+            out_type = pa.int64()
+            vals = pa.chunked_array(
+                [pa.array(np.ones(batch.num_rows, dtype=np.int64))]
+            )
         cols = {k: batch[k] for k in keys}
-        for c, out_name in cat_cols.items():
-            cols[out_name] = pa.array(np.where(piv == c, val, zero), out_type)
+        if agg in ("sum", "count"):
+            # masked partial with a 0 identity; null values contribute 0
+            # (= SQL sum skipping nulls)
+            val = vals.fill_null(0).to_numpy(zero_copy_only=False)
+            zero = 0 if exact else 0.0
+            for c, out_name in cat_cols.items():
+                cols[out_name] = pa.array(np.where(piv == c, val, zero), out_type)
+        else:
+            # masked partial with a NULL identity: non-matching rows
+            # (and null values) are nulls, which Arrow's group min/max
+            # skip — a category with no rows stays NULL, like SQL
+            valid = pc.is_valid(vals).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            val = vals.fill_null(0).to_numpy(zero_copy_only=False)
+            for c, out_name in cat_cols.items():
+                m = (piv == c) & valid
+                cols[out_name] = pa.array(
+                    np.where(m, val, 0), out_type, mask=~m
+                )
         return (
             pa.table(cols)
             .group_by(keys)
-            .aggregate([(n, "sum") for n in cat_cols.values()])
+            .aggregate([(n, agg if agg in ("min", "max") else "sum") for n in cat_cols.values()])
             .rename_columns(keys + list(cat_cols.values()))
         )
 
+    merge_fn = _PARTIAL_OF[agg]
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     return pre_aggregated(
         partials,
         keys=keys,
-        aggs={n: f"{n}:sum" for n in cat_cols.values()},
+        aggs={n: f"{n}:{merge_fn}" for n in cat_cols.values()},
         num_partitions=num_partitions,
     )
 

@@ -443,3 +443,58 @@ def test_unpivot_roundtrip():
 
     with _pytest.raises(ValueError):
         relational.unpivot(ray.data.from_arrow(wide), keys=["k"], value_cols=[])
+
+
+def test_pivot_aggregate_min_max_and_nulls():
+    """min/max pivots use a NULL-identity masked partial: absent (or
+    all-null) categories come out NULL like SQL's MIN(CASE ...); null
+    VALUES never contribute to any agg (sum used to crash on them via
+    the NaN-ing to_numpy round trip)."""
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "b"]),
+            "p": pa.array(["x", "x", "y", "x", "y", "y"]),
+            "v": pa.array([5, 2, None, 7, None, None], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    lo = {
+        r["k"]: (r["x_min"], r["y_min"])
+        for r in relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v",
+            categories=["x", "y"], agg="min",
+        ).take_all()
+    }
+    # a/y and b/y have only null values → NULL, not 0
+    assert lo == {"a": (2, None), "b": (7, None)}
+    hi = {
+        r["k"]: (r["x_max"], r["y_max"])
+        for r in relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v",
+            categories=["x", "y"], agg="max",
+        ).take_all()
+    }
+    assert hi == {"a": (5, None), "b": (7, None)}
+    # sum skips null values (SQL semantics) instead of raising
+    s = {
+        r["k"]: (r["x_sum"], r["y_sum"])
+        for r in relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v",
+            categories=["x", "y"], agg="sum",
+        ).take_all()
+    }
+    assert s == {"a": (7, 0), "b": (7, 0)}
+    # count counts matching ROWS, value nulls included
+    c = {
+        r["k"]: (r["x_count"], r["y_count"])
+        for r in relational.pivot_aggregate(
+            ds, keys=["k"], pivot_col="p", value_col="v",
+            categories=["x", "y"], agg="count",
+        ).take_all()
+    }
+    assert c == {"a": (2, 1), "b": (1, 2)}
