@@ -278,19 +278,42 @@ def _attach_pair_column(
                     continue
                 ids_parts.append(bt[id_col].to_numpy(zero_copy_only=False))
                 val_parts.append(bt[value_col].to_numpy(zero_copy_only=False))
+            # the value column's Arrow type keeps empty outputs
+            # schema-identical to the hash-join path (which types them
+            # from the table) even for non-int64 numerics
+            try:
+                val_type = table.schema().base_schema.field(value_col).type
+            except (AttributeError, KeyError):  # pragma: no cover
+                val_type = pa.int64()
             if not ids_parts:
-                return pairs.limit(0)
+                # empty value table ⇒ inner-join semantics: zero rows,
+                # FULL pair schema plus typed <value>_a/_b columns
+                def _empty(batch: pa.Table) -> pa.Table:
+                    return (
+                        batch.slice(0, 0)
+                        .append_column(f"{value_col}_a", pa.array([], val_type))
+                        .append_column(f"{value_col}_b", pa.array([], val_type))
+                    )
+
+                return pairs.map_batches(_empty, batch_format="pyarrow")
             ids_all = np.concatenate(ids_parts)
             order = np.argsort(ids_all)
-            ref = ray.put(
-                (ids_all[order], np.concatenate(val_parts)[order])
-            )
+            ids_sorted = ids_all[order]
+            # the searchsorted lookup requires a UNIQUE id axis — with
+            # duplicate ids it would silently take the first match
+            # where the join path fans out one row per duplicate
+            if len(ids_sorted) > 1 and (ids_sorted[1:] == ids_sorted[:-1]).any():
+                raise ValueError(
+                    f"_attach_pair_column broadcast: duplicate {id_col} "
+                    f"in the {value_col} table — ids must be unique"
+                )
+            ref = ray.put((ids_sorted, np.concatenate(val_parts)[order]))
 
             def _lookup(batch: pa.Table) -> pa.Table:
                 if batch.num_rows == 0:
                     return batch.append_column(
-                        f"{value_col}_a", pa.array([], pa.int64())
-                    ).append_column(f"{value_col}_b", pa.array([], pa.int64()))
+                        f"{value_col}_a", pa.array([], val_type)
+                    ).append_column(f"{value_col}_b", pa.array([], val_type))
                 from .similarity import _broadcast_cached
 
                 ids_s, vals_s = _broadcast_cached(
@@ -782,6 +805,8 @@ def cross_ngram_contamination(
     threshold: float = 0.5,
     df_cap: int | None = 512,
     stepwise: bool = True,
+    prefilter: str = "auto",
+    prefilter_exact_limit: int = 4_000_000,
 ) -> ray.data.Dataset:
     """Decontamination: find training documents that CONTAIN an eval
     document's n-grams — ``containment = |grams(train) ∩ grams(eval)| /
@@ -799,19 +824,41 @@ def cross_ngram_contamination(
     ``df(train) × df(eval)`` (``df_cap`` guards the stop-word grams;
     None = exact mode for the oracle).
 
+    ``prefilter`` is the corpus-side gram cut that makes the sweep
+    affordable at scale: only grams that ALSO appear on the (small)
+    eval side can ever form a pair, so the corpus gram stream is
+    filtered against the eval gram-hash set BEFORE the bucket exchange
+    — zero recall loss by construction.  Without it the exchange sorts
+    the corpus's entire gram fan-out (measured ~650 M gram rows for a
+    500 k-doc corpus — a 39-minute wall dominated by grams that can
+    never match the 2 k-doc eval side).  ``"auto"`` broadcasts the
+    exact sorted hash set when the eval side has ≤
+    ``prefilter_exact_limit`` distinct grams (~32 MB at the limit) and
+    falls back to a broadcast Bloom filter above it (false positives
+    only add exchange rows, never results); ``"exact"``/``"bloom"``
+    force a path, ``"off"`` disables the cut (the pre-round-5 shape).
+
     Output: (id_a = train id, id_b = eval id, containment).  Ids must
     not collide across the two datasets (use distinct namespaces or
     filter identity pairs downstream when eval ⊆ train).
     """
-    from .relational import hash_join, pre_aggregated
+    from .relational import bloom_semi_join, distinct, hash_join, pre_aggregated
+
+    if prefilter not in ("auto", "exact", "bloom", "off"):
+        raise ValueError(f"unknown prefilter mode {prefilter!r}")
 
     def _explode_side(side_val: int):
         def _fn(batch: pa.Table) -> pa.Table:
             g = _gram_explode(batch, text_col, id_col, n)
+            # reinterpret the uint64 md5 hash as int64 (bit-exact
+            # bijection — equality, distinctness and grouping are
+            # preserved) so the Bloom prefilter's integer-key machinery
+            # never overflows on a set top bit
+            gh = g["gram_hash"].to_numpy(zero_copy_only=False).view(np.int64)
             return pa.table(
                 {
                     "id": g[id_col].cast(pa.int64()),
-                    "gram_hash": g["gram_hash"],
+                    "gram_hash": pa.array(gh),
                     "side": pa.array(
                         np.full(g.num_rows, side_val, dtype=np.int8)
                     ),
@@ -828,6 +875,50 @@ def cross_ngram_contamination(
     )
     if stepwise:
         grams_e = grams_e.materialize()  # reused: sizes + pair buckets
+    if prefilter != "off":
+        eval_hashes = distinct(
+            grams_e.select_columns(["gram_hash"]), ["gram_hash"]
+        ).materialize()
+        n_hash = eval_hashes.count()
+        if prefilter == "exact" or (
+            prefilter == "auto" and n_hash <= prefilter_exact_limit
+        ):
+            tabs = [t for t in ray.get(eval_hashes.to_arrow_refs()) if t.num_rows]
+            if not tabs:
+                # an eval side with no grams can never be contaminated
+                grams_t = grams_t.limit(0)
+            else:
+                hs = np.sort(
+                    pa.concat_tables(tabs)["gram_hash"].to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+                hs_ref = ray.put(hs)
+
+                def _keep_shared(batch: pa.Table) -> pa.Table:
+                    if batch.num_rows == 0:
+                        return batch
+                    h = ray.get(hs_ref)
+                    v = batch["gram_hash"].to_numpy(zero_copy_only=False)
+                    idx = np.minimum(np.searchsorted(h, v), len(h) - 1)
+                    return batch.filter(pa.array(h[idx] == v))
+
+                grams_t = grams_t.map_batches(
+                    _keep_shared, batch_format="pyarrow", batch_size=None
+                )
+        else:
+            # eval gram set too big to broadcast exactly: Bloom bits,
+            # sized ~16 bits/key (FP ≈ 0.24% at k=4) up to a 32 MB cap
+            m_bits = 1 << 20
+            while m_bits < 16 * n_hash and m_bits < (1 << 28):
+                m_bits <<= 1
+            grams_t = bloom_semi_join(
+                grams_t,
+                eval_hashes,
+                on="gram_hash",
+                m_bits=m_bits,
+                exact_verify=False,
+            )
     sizes_e = pre_aggregated(
         grams_e.select_columns(["id"]).map_batches(
             lambda b: b.append_column(
@@ -1058,7 +1149,7 @@ def fingerprint_dedup_slim(
     corpus made every later task in the session 3-4× slower at the
     500k-doc / 4 GB scale, and at 100 TB it simply doesn't fit).
     """
-    from .relational import broadcast_semi_join, partitions_for
+    from .relational import broadcast_semi_join
 
     if recover not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown recover mode {recover!r}")
@@ -1081,6 +1172,49 @@ def fingerprint_dedup_slim(
     slim = (
         slim_input if slim_input is not None else with_fp
     ).select_columns([id_col, "fingerprint"])
+
+    losers = fingerprint_losers_slim(
+        slim,
+        id_col=id_col,
+        broadcast_limit=broadcast_limit,
+        driver_combine=(recover != "join"),
+    ).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return with_fp
+    if recover == "join" or n_losers > broadcast_limit:
+        # driver never sees ids: Bloom anti prefilter + exact left_anti
+        # on the sliver (drop_losers' 100-TB shape)
+        return drop_losers(
+            with_fp, losers, id_col=id_col, loser_col=id_col, via="bloom"
+        )
+    tables = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
+    loser_tbl = pa.concat_tables(tables)
+    return broadcast_semi_join(with_fp, loser_tbl, keys=[id_col], anti=True)
+
+
+def fingerprint_losers_slim(
+    slim: ray.data.Dataset,
+    id_col: str = "doc_id",
+    broadcast_limit: int = WINNER_BROADCAST_LIMIT,
+    driver_combine: bool = True,
+) -> ray.data.Dataset:
+    """Exact-duplicate LOSERS from a slim (id, fingerprint) dataset:
+    every non-minimum id of a duplicated fingerprint, as a one-column
+    dataset.  This is the shared core of ``fingerprint_dedup_slim`` and
+    the curation finalize's delete-only assembly — callers that only
+    need to REMOVE duplicates never have to stream document bodies
+    through a dedup operator at all.
+
+    Phase 1 is a zero-shuffle per-block combine (any id that is not its
+    fingerprint's block minimum is a loser outright; one candidate row
+    per distinct fingerprint per block survives).  Phase 2 resolves
+    global minima over the candidates — driver-side in one Arrow
+    group_by when the candidate set fits ``broadcast_limit`` (and
+    ``driver_combine`` allows ids on the driver), else via a bucketed
+    fingerprint-hash shuffle of the slim candidates.
+    """
+    from .relational import partitions_for
 
     min_col = f"{id_col}_min"
 
@@ -1127,12 +1261,14 @@ def fingerprint_dedup_slim(
 
     combined = slim.map_batches(_block_combine, batch_format="pyarrow").materialize()
     # count() on a materialized dataset is a metadata lookup, not a scan
-    if recover != "join" and combined.count() <= broadcast_limit:
+    if driver_combine and combined.count() <= broadcast_limit:
         # small corpus: finish everything driver-side in one Arrow
-        # group_by — zero additional Ray jobs before the anti filter
+        # group_by — zero additional Ray jobs
         tables = [t for t in ray.get(combined.to_arrow_refs()) if t.num_rows]
         if not tables:  # empty input ⇒ no fingerprints ⇒ no losers
-            return with_fp
+            return ray.data.from_arrow(
+                pa.table({id_col: pa.array([], pa.int64())})
+            )
         all_t = pa.concat_tables(tables)
         mask = all_t["_loser"].combine_chunks()
         local_l = all_t.filter(mask)
@@ -1141,11 +1277,7 @@ def fingerprint_dedup_slim(
         loser_ids = pa.concat_arrays(
             [local_l[id_col].combine_chunks(), glob_l[id_col].combine_chunks()]
         )
-        if len(loser_ids) == 0:
-            return with_fp
-        return broadcast_semi_join(
-            with_fp, pa.table({id_col: loser_ids}), keys=[id_col], anti=True
-        )
+        return ray.data.from_arrow(pa.table({id_col: loser_ids}))
     # big corpus: bucketed fingerprint-hash shuffle over the slim
     # CANDIDATES only (≤ one row per distinct fingerprint per block);
     # in-block losers never enter the exchange
@@ -1182,17 +1314,7 @@ def fingerprint_dedup_slim(
             batch_format="pyarrow",
         )
     )
-    losers = local_losers.union(glob_losers).materialize()
-    n_losers = losers.count()
-    if n_losers == 0:
-        return with_fp
-    if recover == "join" or n_losers > broadcast_limit:
-        # driver never sees ids: Bloom anti prefilter + exact left_anti
-        # on the sliver (drop_losers' 100-TB shape)
-        return drop_losers(with_fp, losers, id_col=id_col, loser_col=id_col)
-    tables = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
-    loser_tbl = pa.concat_tables(tables)
-    return broadcast_semi_join(with_fp, loser_tbl, keys=[id_col], anti=True)
+    return local_losers.union(glob_losers)
 
 
 def near_dup_losers(
@@ -1251,29 +1373,65 @@ def near_dup_losers(
     return comps.filter(expr="node != component").select_columns(["node"])
 
 
+LOSER_BROADCAST_LIMIT = 2_000_000  # ids; ~16 MB of int64 via ray.put
+
+
 def drop_losers(
     docs: ray.data.Dataset,
     losers: ray.data.Dataset,
     id_col: str = "doc_id",
     loser_col: str = "node",
-    via: str = "bloom",
+    via: str = "auto",
+    broadcast_limit: int = LOSER_BROADCAST_LIMIT,
+    corpus_count: int | None = None,
 ) -> ray.data.Dataset:
     """Drop a loser-id set from a corpus — the keep-survivors step
     shared by ``q_dedup_survivors`` and the curation near-dup stage
     (ONE implementation).
 
-    ``via="bloom"`` (default) is the 100-TB shape: a Bloom filter of
-    the loser ids broadcasts once (bounded by ``m_bits/8`` bytes
-    regardless of loser count) and clears the surviving majority
-    WITHOUT entering the exchange; only the losers themselves plus the
-    false-positive sliver pay exact ``left_anti`` join traffic, so the
-    shuffle moves ~|losers| rows instead of ~|corpus| rows.  Exact by
-    construction (``bloom_semi_join`` anti requires ``exact_verify``).
-    ``via="join"`` is the plain distributed ``left_anti`` hash join —
-    every row enters the exchange; use it when losers rival the corpus
-    in size (the filter then clears almost nothing)."""
-    from .relational import bloom_semi_join, hash_join
+    ``via="auto"`` (default) sizes the strategy like every other size
+    switch in this repo: loser sets ≤ ``broadcast_limit`` ship once via
+    ``ray.put`` and drop through a pure map filter (zero shuffle — the
+    measured sf0.1 inversion where the Bloom build's extra all-to-all
+    cost 4.9 s vs the plain join's 2.3 s disappears entirely); bigger
+    sets go through Bloom, UNLESS ``corpus_count`` is supplied and the
+    losers exceed half of it — a filter that clears under half the
+    corpus is pure overhead, so the plain single-shuffle join wins
+    (pass ``corpus_count`` when a manifest or prior count makes it
+    free; it is never computed here because counting ``docs`` would
+    execute the whole upstream plan twice).
 
+    ``via="bloom"`` is the 100-TB shape for loser sets too big to
+    broadcast: a Bloom filter of the loser ids broadcasts once (bounded
+    by ``m_bits/8`` bytes regardless of loser count) and clears the
+    surviving majority WITHOUT entering the exchange; only the losers
+    themselves plus the false-positive sliver pay exact ``left_anti``
+    join traffic, so the shuffle moves ~|losers| rows instead of
+    ~|corpus| rows.  Exact by construction (``bloom_semi_join`` anti
+    requires ``exact_verify``).  ``via="join"`` is the plain
+    distributed ``left_anti`` hash join — every row enters the
+    exchange; the right call when losers rival the corpus in size (the
+    filter then clears almost nothing)."""
+    from .relational import bloom_semi_join, broadcast_semi_join, hash_join
+
+    if via == "auto":
+        losers = losers.materialize()
+        n_losers = losers.count()
+        if n_losers <= broadcast_limit:
+            tables = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
+            if not tables:
+                return docs
+            loser_tbl = pa.concat_tables(tables)
+            if loser_col != id_col:
+                loser_tbl = loser_tbl.rename_columns(
+                    [id_col if c == loser_col else c for c in loser_tbl.column_names]
+                )
+            return broadcast_semi_join(docs, loser_tbl, keys=[id_col], anti=True)
+        via = (
+            "join"
+            if corpus_count is not None and n_losers * 2 > corpus_count
+            else "bloom"
+        )
     if via == "bloom":
         return bloom_semi_join(
             docs, losers, on=id_col, right_on=loser_col, anti=True

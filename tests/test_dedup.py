@@ -439,3 +439,107 @@ def test_near_dup_losers_simhash_drops_identical():
         r["node"] for r in dedup.near_dup_losers(ds, method="simhash").take_all()
     )
     assert losers == [2]
+
+
+def test_drop_losers_auto_switch(monkeypatch):
+    """via="auto" (the default) sizes the strategy: small loser sets
+    broadcast (zero shuffle — no bloom/join machinery touched at all),
+    sets past the broadcast limit go through Bloom, and a supplied
+    corpus_count where losers rival the corpus flips to the plain
+    left_anti join.  All three paths row-identical."""
+    import ray.data as rd
+
+    from knowledge_graph_creation_from_text_with_llms_ray.stages import relational
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(300)), pa.int64()),
+                "text": pa.array([f"d{i}" for i in range(300)], pa.string()),
+            }
+        )
+    ).repartition(5)
+    losers = rd.from_arrow(
+        pa.table({"node": pa.array([2, 17, 17, 250, 999], pa.int64())})
+    )
+    want = sorted(set(range(300)) - {2, 17, 250})
+
+    calls = []
+    real_bloom, real_join = relational.bloom_semi_join, relational.hash_join
+
+    def spy_bloom(*a, **k):
+        calls.append("bloom")
+        return real_bloom(*a, **k)
+
+    def spy_join(*a, **k):
+        calls.append("join")
+        return real_join(*a, **k)
+
+    monkeypatch.setattr(relational, "bloom_semi_join", spy_bloom)
+    monkeypatch.setattr(relational, "hash_join", spy_join)
+
+    # default: 4 losers ≤ broadcast limit → pure map filter, no joins
+    got = sorted(r["doc_id"] for r in dedup.drop_losers(docs, losers).take_all())
+    assert got == want and calls == []
+
+    # force past the broadcast limit: auto picks Bloom
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.drop_losers(docs, losers, broadcast_limit=2).take_all()
+    )
+    assert got == want and calls[0] == "bloom"
+
+    # losers rival the corpus (4 unique of corpus_count=6): plain join
+    calls.clear()
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.drop_losers(
+            docs, losers, broadcast_limit=2, corpus_count=6
+        ).take_all()
+    )
+    assert got == want and calls == ["join"]
+
+
+def test_contamination_prefilter_modes_agree():
+    """The eval-side gram prefilter is a pure exchange-volume cut:
+    exact broadcast, Bloom, and off must produce identical containment
+    results (only grams shared with the eval side can form a pair)."""
+    train = _docs(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven"),
+            (3, "unrelated words entirely different content here"),
+        ]
+    )
+    ev = _docs(
+        [
+            (101, "alpha beta gamma delta"),
+            (102, "six seven eight nine ten"),
+            (103, "nothing shared with anything"),
+        ]
+    )
+
+    def run(mode):
+        return {
+            (r["id_a"], r["id_b"]): round(r["containment"], 12)
+            for r in dedup.cross_ngram_contamination(
+                train, ev, threshold=0.2, df_cap=None, prefilter=mode
+            ).take_all()
+        }
+
+    res_off = run("off")
+    assert res_off  # the planted full-containment pair exists
+    assert run("exact") == res_off
+    assert run("bloom") == res_off
+    assert run("auto") == res_off
+    with pytest.raises(ValueError):
+        dedup.cross_ngram_contamination(train, ev, prefilter="nope").take_all()
+
+
+def test_contamination_empty_eval_side():
+    """An eval side with no grams can never be contaminated — the
+    prefilter short-circuits the corpus side to empty instead of
+    crashing on an empty broadcast."""
+    train = _docs([(1, "alpha beta gamma delta epsilon")])
+    ev = _docs([(101, "")])
+    assert dedup.cross_ngram_contamination(train, ev).take_all() == []
