@@ -7,11 +7,20 @@ before tokenization.  Structure mirrors ``kg.run_checkpointed``:
 
 1. per-shard stage ``curated`` — PURE PER-ROW work (Gopher repetition
    keep rule, deterministic split label, md5 fingerprint) written as
-   one parquet directory per input shard with a lineage manifest, so a
-   killed run reruns only the missing shards;
-2. global finalize — fingerprint dedup across all curated shards
-   through the slim (bodies-free) shuffle, written partitioned;
-   skipped entirely on a pure-resume rerun.
+   one HIVE-PARTITIONED (``split=...``) parquet directory per input
+   shard with a lineage manifest, so a killed run reruns only the
+   missing shards — and every checkpoint file is ALREADY in the final
+   corpus layout;
+2. global finalize — DELETE-ONLY assembly: the global duplicate LOSER
+   set (non-minimum ids of duplicated fingerprints, optionally plus
+   near-duplicate cluster losers) is derived from a column-pruned
+   (doc_id, fingerprint) read; curated files containing no losers are
+   hard-linked into the corpus (server-side copy / manifest append on
+   shared object storage), and only loser-containing files are
+   rewritten.  Finalize I/O is therefore proportional to the DUPLICATE
+   count, not the corpus size — the round-4 form re-read and rewrote
+   the full corpus (19 GB at the 4 M-doc bench) regardless of CPU
+   count, which held end-to-end scaling at 0.69–0.74.
 
 The global dedup cannot be per-shard (duplicates cross shard
 boundaries); everything that CAN be per-shard is, because that is the
@@ -25,11 +34,19 @@ import os
 import shutil
 import time
 
+import numpy as np
+import pyarrow as pa
 import ray
 import ray.data
 
 from ..stages import analysis, dedup
 from ..state import lineage
+
+# curated-checkpoint layout marker: recorded in every shard manifest so
+# a workdir checkpointed under a DIFFERENT layout (pre-round-5 runs
+# wrote flat files with an in-data split column) reruns its shards
+# instead of feeding unreadable geometry to the finalize
+_SHARD_LAYOUT = "hive-split"
 
 
 def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
@@ -93,6 +110,153 @@ def _harden_fsspec_probe() -> None:
     _PROBE_HARDENED = True
 
 
+def _near_dup_effective_params(method: str) -> dict:
+    """EFFECTIVE near-dup knobs for the finalize manifest, read from
+    ``near_dup_losers``'s own signature: a library default change (the
+    round-4 char→word shingle flip, say) then changes the recorded
+    params and forces a RE-finalize on resume, instead of a silent
+    'pure skip' over results computed under the old semantics."""
+    import inspect
+
+    relevant = {
+        "ngram": ("threshold", "df_cap", "n"),
+        "minhash": ("threshold", "num_perm", "bands", "shingle", "shingle_k"),
+        "simhash": ("max_hamming",),
+    }[method]
+    sig = inspect.signature(dedup.near_dup_losers)
+    return {"method": method, **{k: sig.parameters[k].default for k in relevant}}
+
+
+def _curated_entries(workdir: str, n_shards: int) -> list[dict]:
+    """Every curated checkpoint file with its shard index and hive
+    split label: ``{"shard", "split", "path"}``."""
+    out = []
+    for i in range(n_shards):
+        base = lineage.shard_dir(workdir, "curated", i)
+        for p in sorted(glob.glob(os.path.join(base, "split=*", "*.parquet"))):
+            split = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+            out.append({"shard": i, "split": split, "path": p})
+    return out
+
+
+def _assemble_corpus(
+    entries: list[dict], losers: ray.data.Dataset, corpus_dir: str
+) -> int:
+    """Delete-only corpus assembly.  Curated checkpoint files are
+    already final-layout (hive ``split=`` dirs, no split column in the
+    data — exactly what ``write_parquet(partition_cols=["split"])``
+    produces); each file either hard-links into the corpus (it contains
+    no losers — the overwhelmingly common case) or is rewritten minus
+    its loser rows.  Work and I/O scale with the number of
+    loser-CONTAINING files, not the corpus: the classify step reads one
+    thin id column per file.  ``os.link`` is the single-node form; on
+    shared object storage the same step is a server-side copy or a
+    manifest append (Iceberg/Delta-style), never a stream through
+    compute.  Returns the corpus row count."""
+    from ..stages.relational import _cluster_cpus
+
+    tables = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
+    if tables:
+        ids = (
+            pa.concat_tables(tables)["doc_id"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+    else:
+        ids = np.array([], dtype=np.int64)
+    ids_ref = ray.put(ids)
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    for split in {e["split"] for e in entries}:
+        os.makedirs(os.path.join(corpus_dir, f"split={split}"), exist_ok=True)
+
+    def _one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        loser_ids = ray.get(ids_ref)
+        rows_out = []
+        for shard, split, path in zip(
+            batch["shard"].to_pylist(),
+            batch["split"].to_pylist(),
+            batch["path"].to_pylist(),
+        ):
+            dst = os.path.join(
+                corpus_dir,
+                f"split={split}",
+                f"shard-{shard:05d}-{os.path.basename(path)}",
+            )
+            dids = _pq.read_table(path, columns=["doc_id"])["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+            hit = (
+                np.isin(dids, loser_ids)
+                if len(loser_ids)
+                else np.zeros(len(dids), dtype=bool)
+            )
+            if not hit.any():
+                try:
+                    os.link(path, dst)
+                except OSError:  # cross-device / fs without hard links
+                    shutil.copy2(path, dst)
+                rows_out.append(len(dids))
+            else:
+                t = _pq.read_table(path)
+                keep = ~np.isin(
+                    t["doc_id"].to_numpy(zero_copy_only=False), loser_ids
+                )
+                _pq.write_table(t.filter(pa.array(keep)), dst)
+                rows_out.append(int(keep.sum()))
+        return pa.table({"rows_out": pa.array(rows_out, pa.int64())})
+
+    per_file = ray.data.from_items(
+        entries,
+        override_num_blocks=min(len(entries), max(8, _cluster_cpus() * 4)),
+    ).map_batches(_one, batch_format="pyarrow")
+    # one int per curated file — bounded by file count, not rows
+    return sum(r["rows_out"] for r in per_file.take_all())
+
+
+def _rewrite_corpus(
+    entries: list[dict],
+    losers: ray.data.Dataset,
+    corpus_dir: str,
+    corpus_count: int,
+    out_rows_per_file: int,
+) -> int:
+    """Full streaming rewrite — the fallback when the loser set is too
+    big to broadcast (duplicates rival the corpus, so most files would
+    be rewritten anyway and link-assembly buys nothing).  The split
+    label is rehydrated from the hive path per split group; the
+    loser drop sizes itself via ``drop_losers(via="auto",
+    corpus_count=...)``."""
+    by_split: dict[str, list[str]] = {}
+    for e in entries:
+        by_split.setdefault(e["split"], []).append(e["path"])
+    parts = []
+    for split, paths in sorted(by_split.items()):
+        def _add(b: pa.Table, s=split) -> pa.Table:
+            return b.append_column(
+                "split", pa.array([s] * b.num_rows, pa.string())
+            )
+
+        parts.append(
+            ray.data.read_parquet(paths).map_batches(_add, batch_format="pyarrow")
+        )
+    full = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    kept = dedup.drop_losers(
+        full, losers, loser_col="doc_id", corpus_count=corpus_count
+    )
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    kept.write_parquet(
+        corpus_dir,
+        partition_cols=["split"],
+        min_rows_per_file=out_rows_per_file,
+    )
+    return lineage.footer_row_count(
+        glob.glob(os.path.join(corpus_dir, "**", "*.parquet"), recursive=True)
+    )
+
+
 def run_curation(
     input_path: str,
     workdir: str,
@@ -106,21 +270,25 @@ def run_curation(
     """Resumable sharded curation run.  Returns a summary dict (shards
     run / skipped, output path, row counts).
 
-    ``near_dup=True`` adds a second global finalize stage: after the
-    exact fingerprint dedup, near-duplicate clusters (word-3-gram
-    Jaccard ≥ 0.5 with the production ``df_cap`` skew guard) keep only
-    their minimum-id member, dropped via a distributed anti join —
-    nothing driver-side.
+    ``near_dup=True`` widens the finalize's loser set: after the exact
+    fingerprint losers, near-duplicate clusters (word-3-gram Jaccard ≥
+    0.5 with the production ``df_cap`` skew guard by default) keep only
+    their minimum-id member; the extra loser ids join the same
+    delete-only assembly — the near-dup scan streams the exact-dedup
+    survivors straight from the curated checkpoints, with no
+    intermediate corpus checkpoint.
 
     ``out_rows_per_file`` is the ``min_rows_per_file`` passed to the
-    small-shard checkpoint, dedup checkpoint and final corpus writes:
-    it coalesces per-block outputs into fewer, larger files so
-    downstream reads aren't dominated by per-file opens.  It is a
-    TASK-granularity knob too — Write fuses with the upstream map
-    chain, so each fused task consumes at least this many rows (8192
-    ≈ 60 write tasks at 500k rows: parallel at 32 CPUs AND ~10 MB
-    files; 16384 measured 4 s slower on the corpus write).  Big-shard
-    checkpoints skip it entirely (block-sized files, full parallelism).
+    small-shard checkpoint write (and the full-rewrite fallback): it
+    coalesces per-block outputs into fewer, larger files so downstream
+    reads aren't dominated by per-file opens.  It is a TASK-granularity
+    knob too — Write fuses with the upstream map chain, so each fused
+    task consumes at least this many rows (8192 ≈ 60 write tasks at
+    500k rows: parallel at 32 CPUs AND ~10 MB files; 16384 measured 4 s
+    slower on the corpus write).  Big-shard checkpoints skip it
+    entirely (block-sized files, full parallelism).  Because the
+    finalize LINKS clean checkpoint files instead of rewriting them,
+    these knobs now also set the final corpus file geometry.
 
     Shards are independent pure-map jobs (no shuffle), so up to
     ``shard_concurrency`` of them execute CONCURRENTLY — a serial
@@ -157,6 +325,10 @@ def run_curation(
                 # for {'train':8,'val':1,'test':1}
                 and man.get("split_labels")
                 == analysis.split_label_list(weights)
+                # pre-round-5 checkpoints wrote flat files with an
+                # in-data split column — unreadable by the hive-layout
+                # finalize, so rerun them
+                and man.get("layout") == _SHARD_LAYOUT
             ):
                 skipped.append(i)
                 continue
@@ -193,11 +365,15 @@ def run_curation(
         # shards already read as ~32 MiB blocks, so block-sized output
         # files are the right size with full map parallelism; tiny
         # shards (orchestration-bound anyway) still coalesce.
+        # hive-partitioned by split: every checkpoint file is ALREADY in
+        # the final corpus layout, so the finalize can hard-link clean
+        # files instead of rewriting the corpus
         curate_shard(docs, weights=weights).write_parquet(
             out_dir,
+            partition_cols=["split"],
             min_rows_per_file=out_rows_per_file if small else None,
         )
-        written = glob.glob(os.path.join(out_dir, "*.parquet"))
+        written = glob.glob(os.path.join(out_dir, "split=*", "*.parquet"))
         n_rows = lineage.footer_row_count(written)
         lineage.write_manifest(
             workdir,
@@ -208,6 +384,7 @@ def run_curation(
                 "rows": n_rows,
                 "weights": weights or None,
                 "split_labels": analysis.split_label_list(weights),
+                "layout": _SHARD_LAYOUT,
                 "wall_time_s": time.time() - t0,
             },
         )
@@ -217,6 +394,7 @@ def run_curation(
         with ThreadPoolExecutor(max_workers=max(1, shard_concurrency)) as pool:
             ran = sorted(pool.map(_run_shard, todo))
 
+    near_dup_params = _near_dup_effective_params(near_dup_method) if near_dup else None
     man = lineage.load_manifest(workdir, "final", 0)
     if (
         not ran
@@ -227,7 +405,10 @@ def run_curation(
         # finalize reruns when the set shrinks or reorders
         and man.get("input_files") == files
         and man.get("near_dup", False) == near_dup
-        and (not near_dup or man.get("near_dup_method") == near_dup_method)
+        # the EFFECTIVE near-dup knobs (method + its defaults), so a
+        # semantic change (e.g. a shingle-mode default flip) re-finalizes
+        # instead of silently keeping the old variant's output
+        and man.get("near_dup_params") == near_dup_params
     ):
         return {
             "shards_ran": ran,
@@ -244,43 +425,27 @@ def run_curation(
         os.remove(lineage.manifest_path(workdir, "final", 0))
     except FileNotFoundError:
         pass
-    shard_files = []
-    for i in range(len(files)):
-        shard_files.extend(
-            sorted(
-                glob.glob(
-                    os.path.join(lineage.shard_dir(workdir, "curated", i), "*.parquet")
-                )
-            )
-        )
-    if not shard_files:  # every shard fully filtered: empty corpus
-        deduped = None
+    entries = _curated_entries(workdir, len(files))
+    corpus_dir = os.path.join(workdir, "corpus")
+    if not entries:  # every shard fully filtered: empty corpus
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        os.makedirs(corpus_dir, exist_ok=True)
+        n_rows = 0
     else:
-        curated = ray.data.read_parquet(shard_files)
-        # global dedup through the slim (bodies-free) shuffle, reusing
-        # the fingerprints ALREADY computed per shard; rescan=True —
-        # the input is a bare checkpoint read, so the winner pass
-        # re-reads just (doc_id, fingerprint) column-pruned instead of
-        # pinning every body in the object store
-        deduped = dedup.fingerprint_dedup_slim(
-            curated,
-            precomputed=True,
-            rescan=True,
-            slim_input=ray.data.read_parquet(
-                shard_files, columns=["doc_id", "fingerprint"]
-            ),
-        ).select_columns(["doc_id", "text", "fingerprint", "split"])
+        paths = [e["path"] for e in entries]
+        # corpus row count is free from the shard manifests — it sizes
+        # drop_losers' auto switch without executing anything
+        total_rows = 0
+        for i in range(len(files)):
+            m = lineage.load_manifest(workdir, "curated", i)
+            total_rows += int(m["rows"]) if m else 0
+        # global exact-duplicate LOSERS from a slim (doc_id,
+        # fingerprint) column read — bodies never leave disk for the
+        # exact dedup; the loser set scales with the duplicate count
+        losers = dedup.fingerprint_losers_slim(
+            ray.data.read_parquet(paths, columns=["doc_id", "fingerprint"])
+        ).materialize()
         if near_dup:
-            # checkpoint the exact-dedup result to disk instead of
-            # materializing it: the loser derivation and the loser-drop
-            # left side both re-read from parquet (column-pruned where
-            # possible).  Pinning the corpus in the object store made
-            # every later task in the session 3-4× slower at 4 GB and
-            # is impossible at 100 TB; a disk checkpoint streams.
-            dedup_dir = os.path.join(workdir, "deduped")
-            shutil.rmtree(dedup_dir, ignore_errors=True)
-            deduped.write_parquet(dedup_dir, min_rows_per_file=out_rows_per_file)
-            dd_files = sorted(glob.glob(os.path.join(dedup_dir, "*.parquet")))
             # corpus-scale near-dup: let the signature/gram actor pool
             # grow to most of the cluster — the default (1, 4) pool is
             # tuned for the sub-second sf-bench corpora where actor
@@ -288,33 +453,34 @@ def run_curation(
             # the wall and the rest of the cluster is idle under it
             from ..stages.relational import _cluster_cpus
 
-            losers = dedup.near_dup_losers(
-                ray.data.read_parquet(dd_files, columns=["doc_id", "text"]),
+            # the near-dup scan streams the exact-dedup SURVIVORS
+            # straight from the curated checkpoints (column-pruned,
+            # exact losers dropped in-flight) — no intermediate
+            # deduped/ checkpoint write+read+delete like round 4
+            survivors = dedup.drop_losers(
+                ray.data.read_parquet(paths, columns=["doc_id", "text"]),
+                losers,
+                loser_col="doc_id",
+                corpus_count=total_rows,
+            )
+            nd_losers = dedup.near_dup_losers(
+                survivors,
                 method=near_dup_method,
                 concurrency=(1, max(4, _cluster_cpus() - 2)),
             )
-            # Bloom anti prefilter + exact left_anti on the sliver:
-            # survivors (the vast majority) never enter the exchange
-            deduped = dedup.drop_losers(ray.data.read_parquet(dd_files), losers)
-    corpus_dir = os.path.join(workdir, "corpus")
-    shutil.rmtree(corpus_dir, ignore_errors=True)
-    if deduped is None:
-        os.makedirs(corpus_dir, exist_ok=True)
-        n_rows = 0
-    else:
-        # hive-partitioned by split: a trainer reads corpus/split=train/
-        # without touching val/test files (partition pruning at the read)
-        deduped.write_parquet(
-            corpus_dir,
-            partition_cols=["split"],
-            min_rows_per_file=out_rows_per_file,
-        )
-        n_rows = lineage.footer_row_count(
-            glob.glob(os.path.join(corpus_dir, "**", "*.parquet"), recursive=True)
-        )
-    # the exact-dedup checkpoint is intermediate to the finalize — a
-    # resumed run rebuilds it from the curated shards, so reclaim the
-    # disk (at corpus scale it is a full extra copy)
+            losers = losers.union(
+                nd_losers.rename_columns({"node": "doc_id"})
+            ).materialize()
+        if losers.count() <= dedup.LOSER_BROADCAST_LIMIT:
+            n_rows = _assemble_corpus(entries, losers, corpus_dir)
+        else:
+            # duplicates rival the corpus: most files contain losers,
+            # link-assembly buys nothing — full streaming rewrite
+            n_rows = _rewrite_corpus(
+                entries, losers, corpus_dir, total_rows, out_rows_per_file
+            )
+    # reclaim the intermediate exact-dedup checkpoint of pre-round-5
+    # workdirs (the delete-only finalize no longer creates one)
     shutil.rmtree(os.path.join(workdir, "deduped"), ignore_errors=True)
     lineage.write_manifest(
         workdir,
@@ -326,6 +492,7 @@ def run_curation(
             "input_files": files,
             "near_dup": near_dup,
             "near_dup_method": near_dup_method if near_dup else None,
+            "near_dup_params": near_dup_params,
             "wall_time_s": time.time() - t0,
         },
     )

@@ -233,3 +233,49 @@ def test_curation_near_dup_simhash_method(docs_shards, tmp_path):
     assert 0 < s_sh["rows"]
     s2 = run_curation(docs_shards, wd, near_dup=True, near_dup_method="simhash")
     assert s2.get("final_skipped") is True and s2["rows"] == s_sh["rows"]
+
+
+def test_curation_finalize_links_clean_files(docs_shards, tmp_path):
+    """The delete-only finalize hard-links loser-free curated files
+    into the corpus instead of rewriting them: most corpus files must
+    share an inode with their checkpoint twin (st_nlink ≥ 2), and the
+    per-file layout must match the checkpoints (shard-prefixed names
+    under hive split dirs)."""
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd_link")
+    run_curation(docs_shards, wd)
+    corpus_files = glob.glob(
+        os.path.join(wd, "corpus", "split=*", "*.parquet")
+    )
+    assert corpus_files
+    linked = [p for p in corpus_files if os.stat(p).st_nlink >= 2]
+    # sf0.001 has only a handful of duplicate texts: the vast majority
+    # of files must be links, and every file name carries its shard
+    assert len(linked) >= len(corpus_files) // 2
+    assert all(
+        os.path.basename(p).startswith("shard-") for p in corpus_files
+    )
+    # rewritten (loser-containing) files are NOT links and hold fewer
+    # rows than their checkpoint twin — verified implicitly by the
+    # run_and_resume test's row-count + fingerprint-uniqueness checks
+
+
+def test_curation_shard_reruns_on_layout_change(docs_shards, tmp_path):
+    """A workdir checkpointed under a different curated-file layout
+    (e.g. pre-hive flat files) must rerun its shards, not feed
+    unreadable geometry to the finalize."""
+    import json
+
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd_layout")
+    run_curation(docs_shards, wd)
+    mp = lineage.manifest_path(wd, "curated", 1)
+    with open(mp) as f:
+        man = json.load(f)
+    man.pop("layout")  # simulate a pre-round-5 checkpoint
+    with open(mp, "w") as f:
+        json.dump(man, f)
+    s = run_curation(docs_shards, wd)
+    assert s["shards_ran"] == [1]
