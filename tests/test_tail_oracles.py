@@ -60,6 +60,32 @@ def duck():
     con.close()
 
 
+# Queries the driver may value-check but whose oracle is None BY
+# DESIGN (none today — the t-digest pair lives in the tail).  Any new
+# oracle-less query must either go past position DRIVER_WINDOW or be
+# added here with a justification, so registry growth can never
+# silently park value-checkable queries out of the driver's window
+# again (round-4 verdict, next-round item 6).
+WINDOW_NO_ORACLE_ALLOWLIST: frozenset[str] = frozenset()
+
+
+def test_driver_window_is_fully_value_checkable():
+    """Every query in the driver's 50-entry correctness window must
+    have a DuckDB oracle (or be explicitly allowlisted): the window is
+    the only driver-visible value evidence, so an oracle-less entry
+    there wastes a slot that a value-checkable query could use."""
+    oracles = entry.oracle_sql()
+    missing = [
+        q
+        for q in _ALL[:DRIVER_WINDOW]
+        if q not in oracles and q not in WINDOW_NO_ORACLE_ALLOWLIST
+    ]
+    assert not missing, (
+        f"driver-window queries without an oracle: {missing} — move them "
+        "past position 50 or allowlist with a justification"
+    )
+
+
 @pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present"
 )
