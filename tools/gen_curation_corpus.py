@@ -15,6 +15,7 @@ Deterministic: every doc's text is a pure function of (seed, doc_id).
 distinct) so the global fingerprint dedup stage has real work.
 
 Usage: python tools/gen_curation_corpus.py OUT_DIR [n_docs] [shards]
+       [near_dup_rate] [vocab_variants]
 """
 
 from __future__ import annotations
@@ -38,7 +39,20 @@ _STEMS = (
     "gamma delta shard block actor task node edge graph label token pack "
     "bucket probe merge scan"
 ).split()
-VOCAB = _STEMS + [f"{s}{i}" for i in range(750) for s in _STEMS]
+
+
+def make_vocab(variants: int = 750) -> list[str]:
+    """``variants=750`` (default) is the ~30k-word heavy-tail vocabulary
+    — realistic for LSH/banding behaviour but COMPRESSION-ADVERSARIAL
+    (snappy ~1.8x; real web text compresses 3-5x).  ``variants=0`` is
+    the 48-stem vocabulary of the round-3/4 scaling corpora (snappy
+    ~3.3x — the compression ratio real prose gets), used to reproduce
+    the recorded 2M-doc/4.8GB geometry for I/O-sensitive scaling
+    measurements.  Pick per benchmark: LSH realism vs I/O realism."""
+    return _STEMS + [f"{s}{i}" for i in range(variants) for s in _STEMS]
+
+
+VOCAB = make_vocab()
 
 WORDS_PER_DOC = 1300  # ≈ 8 kB of text
 DUP_RATE = 0.03
@@ -50,11 +64,12 @@ def _shard_table(
     shards: int,
     seed: int,
     near_dup_rate: float = 0.0,
+    vocab_variants: int = 750,
 ) -> pa.Table:
     lo = shard * n_docs // shards
     hi = (shard + 1) * n_docs // shards
     rng = np.random.RandomState(seed + shard)
-    vocab = np.array(VOCAB)
+    vocab = np.array(make_vocab(vocab_variants))
     texts: list[str] = []
     ids = list(range(lo, hi))
     for doc_id in ids:
@@ -78,7 +93,7 @@ def _shard_table(
             words = texts[p - 1].split()
             edit = rng.randint(0, len(words), max(1, len(words) // 25))
             for e in edit:
-                words[e] = VOCAB[rng.randint(0, len(VOCAB))]
+                words[e] = vocab[rng.randint(0, len(vocab))]
             texts[p] = " ".join(words)
     return pa.table(
         {
@@ -94,6 +109,7 @@ def generate(
     shards: int = 8,
     seed: int = 42,
     near_dup_rate: float = 0.0,
+    vocab_variants: int = 750,
 ) -> None:
     import ray
 
@@ -109,7 +125,7 @@ def generate(
         # written as ONE group would be unsplittable — one read task
         # per shard no matter the cluster size
         pq.write_table(
-            _shard_table(shard, n_docs, shards, seed, near_dup_rate),
+            _shard_table(shard, n_docs, shards, seed, near_dup_rate, vocab_variants),
             path,
             row_group_size=4096,
         )
@@ -124,4 +140,5 @@ if __name__ == "__main__":
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     nd = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
-    generate(out, n, s, near_dup_rate=nd)
+    vv = int(sys.argv[5]) if len(sys.argv) > 5 else 750
+    generate(out, n, s, near_dup_rate=nd, vocab_variants=vv)
