@@ -49,16 +49,24 @@ from ..state import lineage
 _SHARD_LAYOUT = "hive-split"
 
 
-def curate_shard(docs: ray.data.Dataset, weights: dict[str, int] | None = None):
+def curate_shard(
+    docs: ray.data.Dataset,
+    weights: dict[str, int] | None = None,
+    keep_cols: tuple[str, ...] = (),
+):
     """Per-row curation of one shard: repetition stats + keep filter,
     split label, md5 fingerprint.  No shuffle — safe at any shard
-    size."""
+    size.  ``keep_cols`` are passthrough columns projected into the
+    output after the standard four (e.g. the wave runner's ``shard``
+    routing tag)."""
     kept = analysis.repetition_stats(docs).filter(expr="keep == True")
     split = analysis.split_by_hash(kept, weights=weights)
     with_fp = split.map_batches(
         dedup._fingerprint_batch, batch_format="pyarrow", fn_kwargs={"text_col": "text"}
     )
-    return with_fp.select_columns(["doc_id", "text", "fingerprint", "split"])
+    return with_fp.select_columns(
+        ["doc_id", "text", "fingerprint", "split", *keep_cols]
+    )
 
 
 # shard files below this size get a fixed small block cap; larger ones
@@ -290,14 +298,20 @@ def run_curation(
     finalize LINKS clean checkpoint files instead of rewriting them,
     these knobs now also set the final corpus file geometry.
 
-    Shards are independent pure-map jobs (no shuffle), so up to
-    ``shard_concurrency`` of them execute CONCURRENTLY — a serial
-    shard loop pays per-job orchestration 128× in a row (measured:
-    500k docs / 128 shards went 165 s serial → see BASELINE.md);
-    manifests are per-shard files, so concurrent completion is safe.
+    Shards are processed in WAVES of ``shard_concurrency``: each wave
+    is ONE streaming-executor job over the union of its shards (every
+    shard keeps its own size-aware read split; the shard index rides as
+    a hive partition column so outputs land in per-shard dirs).  One
+    executor per wave replaces the round-4 thread pool that drove
+    ``shard_concurrency`` SEPARATE Ray Data jobs concurrently — N
+    competing executors fair-share the object store and per-operator
+    resource budgets, and the measured cost was ~40% of the cluster
+    idle at 32 CPUs (2M-doc/4.8GB corpus: shard phase 38s pooled vs
+    ~24s as one executor; see BASELINE.md round 5).  A serial per-shard
+    loop is still worse (per-job orchestration 128× in a row: 165s at
+    500k docs/128 shards).  Manifests stay per-shard; a wave killed
+    mid-flight just reruns its unmanifested shards.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     _harden_fsspec_probe()
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
@@ -334,65 +348,100 @@ def run_curation(
                 continue
         todo.append((i, f))
 
-    def _run_shard(item):
-        i, f = item
+    def _run_wave(items: list[tuple[int, str]]) -> list[int]:
         t0 = time.time()
         # SMALL shards: without a cap Ray splits every tiny file into
         # ~2×CPU blocks and per-task churn dominates (measured 87 s →
         # 28 s at 32 CPUs / 500k docs).  LARGE shards are split into
         # ~32 MiB read tasks at row-group granularity: Ray's default is
         # ONE read task per file (measured 11.7 s single-threaded decode
-        # of a 150 MB shard), which serializes the whole shard job.
-        size = os.path.getsize(f)
-        small = size < _SMALL_SHARD_BYTES
-        cap = (
-            blocks_per_shard
-            if small
-            else max(blocks_per_shard or 1, size // _TARGET_BLOCK_BYTES)
-        )
+        # of a 150 MB shard), which serializes the whole shard's read.
+        # The wave reads ALL its files in ONE op with the SUMMED split
+        # budget — a single fused Read→curate→Write chain (a union of
+        # per-shard datasets breaks operator fusion: Write detaches from
+        # the map chain and the wave ran ~35% slower at 8 CPUs).
+        caps = []
+        all_small = True
+        for _, f in items:
+            size = os.path.getsize(f)
+            small = size < _SMALL_SHARD_BYTES
+            all_small = all_small and small
+            caps.append(
+                blocks_per_shard
+                if small
+                else max(blocks_per_shard or 1, size // _TARGET_BLOCK_BYTES)
+            )
+        # shard index as a ZERO-PADDED hive value derived from the
+        # source path: the partitioned write then lands each shard in
+        # lineage.shard_dir's exact ``shard=NNNNN`` directory
+        tag_of = {f: f"{i:05d}" for i, f in items}
+
+        def _tag(b: pa.Table) -> pa.Table:
+            tags = pa.array([tag_of[p] for p in b["path"].to_pylist()])
+            return b.drop_columns(["path"]).append_column("shard", tags)
+
         docs = ray.data.read_parquet(
-            f, columns=["doc_id", "text"], override_num_blocks=cap
-        )
-        out_dir = lineage.shard_dir(workdir, "curated", i)
-        # clean stale partial output (uuid filenames append, not replace)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out_dir, exist_ok=True)
-        # File-size control WITHOUT min_rows_per_file on big shards:
-        # Write fuses with the upstream map chain, and min_rows_per_file
-        # makes the fused operator consume ≥that many rows per TASK —
-        # measured: it collapsed a whole 62.5k-row shard to 4 tasks, so
-        # 8 concurrent shard jobs could not even feed 32 CPUs.  Big
+            [f for _, f in items],
+            columns=["doc_id", "text"],
+            override_num_blocks=sum(caps),
+            include_paths=True,
+        ).map_batches(_tag, batch_format="pyarrow")
+        for i, _ in items:
+            # clean stale partial output (uuid filenames append, not
+            # replace)
+            shutil.rmtree(
+                lineage.shard_dir(workdir, "curated", i), ignore_errors=True
+            )
+        # ONE streaming executor for the whole wave (vs one job per
+        # shard from a thread pool: N executors fair-share per-operator
+        # budgets and leave cores idle — see docstring).  File-size
+        # control WITHOUT min_rows_per_file on big shards: Write fuses
+        # with the upstream map chain, and min_rows_per_file makes the
+        # fused operator consume ≥that many rows per TASK — measured:
+        # it collapsed a whole 62.5k-row shard job to 4 tasks.  Big
         # shards already read as ~32 MiB blocks, so block-sized output
         # files are the right size with full map parallelism; tiny
         # shards (orchestration-bound anyway) still coalesce.
-        # hive-partitioned by split: every checkpoint file is ALREADY in
-        # the final corpus layout, so the finalize can hard-link clean
-        # files instead of rewriting the corpus
-        curate_shard(docs, weights=weights).write_parquet(
-            out_dir,
-            partition_cols=["split"],
-            min_rows_per_file=out_rows_per_file if small else None,
+        # hive-partitioned by (shard, split): every checkpoint file is
+        # ALREADY in the final corpus layout, so the finalize can
+        # hard-link clean files instead of rewriting the corpus.
+        curate_shard(docs, weights=weights, keep_cols=("shard",)).write_parquet(
+            os.path.join(workdir, "curated"),
+            partition_cols=["shard", "split"],
+            min_rows_per_file=out_rows_per_file if all_small else None,
         )
-        written = glob.glob(os.path.join(out_dir, "split=*", "*.parquet"))
-        n_rows = lineage.footer_row_count(written)
-        lineage.write_manifest(
-            workdir,
-            "curated",
-            i,
-            {
-                "input_file": f,
-                "rows": n_rows,
-                "weights": weights or None,
-                "split_labels": analysis.split_label_list(weights),
-                "layout": _SHARD_LAYOUT,
-                "wall_time_s": time.time() - t0,
-            },
-        )
-        return i
+        wall = time.time() - t0
+        out = []
+        for i, f in items:
+            written = glob.glob(
+                os.path.join(
+                    lineage.shard_dir(workdir, "curated", i),
+                    "split=*",
+                    "*.parquet",
+                )
+            )
+            lineage.write_manifest(
+                workdir,
+                "curated",
+                i,
+                {
+                    "input_file": f,
+                    "rows": lineage.footer_row_count(written),
+                    "weights": weights or None,
+                    "split_labels": analysis.split_label_list(weights),
+                    "layout": _SHARD_LAYOUT,
+                    # wave wall: shards in a wave finish together
+                    "wall_time_s": wall,
+                },
+            )
+            out.append(i)
+        return out
 
     if todo:
-        with ThreadPoolExecutor(max_workers=max(1, shard_concurrency)) as pool:
-            ran = sorted(pool.map(_run_shard, todo))
+        step = max(1, shard_concurrency)
+        for w in range(0, len(todo), step):
+            ran.extend(_run_wave(todo[w : w + step]))
+        ran.sort()
 
     near_dup_params = _near_dup_effective_params(near_dup_method) if near_dup else None
     man = lineage.load_manifest(workdir, "final", 0)
