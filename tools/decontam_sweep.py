@@ -21,8 +21,11 @@ that can ever match.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
@@ -88,9 +91,7 @@ def main() -> None:
 
     eval_tbl, verbatim = build_eval(corpus_dir, n_eval)
     eval_ds = ray.data.from_arrow(eval_tbl)
-    corpus = ray.data.read_parquet(
-        os.path.join(corpus_dir, "*.parquet"), columns=["doc_id", "text"]
-    )
+    corpus = ray.data.read_parquet(corpus_dir, columns=["doc_id", "text"])
 
     t0 = time.time()
     pairs = dedup.cross_ngram_contamination(
