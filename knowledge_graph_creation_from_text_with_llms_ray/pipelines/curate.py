@@ -148,7 +148,10 @@ def _curated_entries(workdir: str, n_shards: int) -> list[dict]:
 
 
 def _assemble_corpus(
-    entries: list[dict], losers: ray.data.Dataset, corpus_dir: str
+    entries: list[dict],
+    losers: ray.data.Dataset,
+    corpus_dir: str,
+    codec: str = "zstd",
 ) -> int:
     """Delete-only corpus assembly.  Curated checkpoint files are
     already final-layout (hive ``split=`` dirs, no split column in the
@@ -212,7 +215,7 @@ def _assemble_corpus(
                 keep = ~np.isin(
                     t["doc_id"].to_numpy(zero_copy_only=False), loser_ids
                 )
-                _pq.write_table(t.filter(pa.array(keep)), dst)
+                _pq.write_table(t.filter(pa.array(keep)), dst, compression=codec)
                 rows_out.append(int(keep.sum()))
         return pa.table({"rows_out": pa.array(rows_out, pa.int64())})
 
@@ -230,6 +233,7 @@ def _rewrite_corpus(
     corpus_dir: str,
     corpus_count: int,
     out_rows_per_file: int,
+    codec: str = "zstd",
 ) -> int:
     """Full streaming rewrite — the fallback when the loser set is too
     big to broadcast (duplicates rival the corpus, so most files would
@@ -259,6 +263,7 @@ def _rewrite_corpus(
         corpus_dir,
         partition_cols=["split"],
         min_rows_per_file=out_rows_per_file,
+        compression=codec,
     )
     return lineage.footer_row_count(
         glob.glob(os.path.join(corpus_dir, "**", "*.parquet"), recursive=True)
@@ -274,6 +279,7 @@ def run_curation(
     shard_concurrency: int = 4,
     blocks_per_shard: int | None = 8,
     out_rows_per_file: int = 8192,
+    codec: str = "snappy",
 ) -> dict:
     """Resumable sharded curation run.  Returns a summary dict (shards
     run / skipped, output path, row counts).
@@ -297,6 +303,19 @@ def run_curation(
     entirely (block-sized files, full parallelism).  Because the
     finalize LINKS clean checkpoint files instead of rewriting them,
     these knobs now also set the final corpus file geometry.
+
+    ``codec`` is the parquet compression of every body write (shard
+    checkpoints — which ARE the corpus files when linked — plus the
+    loser rewrites).  Both directions were MEASURED at 2M docs
+    (BASELINE.md round 5): on the heavy-vocabulary corpus zstd wins
+    both legs (2.85× vs 1.77× on disk, ~3.7× faster decode of the
+    checkpoint re-reads: 96.4→91.6 s @32, 230.8→196.9 s @8); on the
+    compressible 48-stem corpus the run is encode-CPU-bound and
+    snappy wins (46.2 vs 59.4 s @32).  Default ``snappy``; set
+    ``zstd`` when storage bandwidth is the wall — at 100 TB against
+    an object store it always is.  Parquet is self-describing, so
+    resuming a snappy-era workdir under zstd just yields mixed-codec
+    files.
 
     Shards are processed in WAVES of ``shard_concurrency``: each wave
     is ONE streaming-executor job over the union of its shards (every
@@ -409,6 +428,7 @@ def run_curation(
             os.path.join(workdir, "curated"),
             partition_cols=["shard", "split"],
             min_rows_per_file=out_rows_per_file if all_small else None,
+            compression=codec,
         )
         wall = time.time() - t0
         out = []
@@ -521,12 +541,12 @@ def run_curation(
                 nd_losers.rename_columns({"node": "doc_id"})
             ).materialize()
         if losers.count() <= dedup.LOSER_BROADCAST_LIMIT:
-            n_rows = _assemble_corpus(entries, losers, corpus_dir)
+            n_rows = _assemble_corpus(entries, losers, corpus_dir, codec=codec)
         else:
             # duplicates rival the corpus: most files contain losers,
             # link-assembly buys nothing — full streaming rewrite
             n_rows = _rewrite_corpus(
-                entries, losers, corpus_dir, total_rows, out_rows_per_file
+                entries, losers, corpus_dir, total_rows, out_rows_per_file, codec=codec
             )
     # reclaim the intermediate exact-dedup checkpoint of pre-round-5
     # workdirs (the delete-only finalize no longer creates one)

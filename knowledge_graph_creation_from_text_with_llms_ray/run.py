@@ -136,6 +136,7 @@ def main(argv=None):
             weights=cur.get("split_weights"),
             near_dup=bool(cur.get("near_dup", False)),
             near_dup_method=cur.get("near_dup_method", "ngram"),
+            codec=cur.get("codec", "snappy"),
         )
         print(json.dumps(summary))
         return summary
