@@ -15,7 +15,7 @@ Deterministic: every doc's text is a pure function of (seed, doc_id).
 distinct) so the global fingerprint dedup stage has real work.
 
 Usage: python tools/gen_curation_corpus.py OUT_DIR [n_docs] [shards]
-       [near_dup_rate] [vocab_variants]
+       [near_dup_rate] [vocab_variants] [dup_rate]
 """
 
 from __future__ import annotations
@@ -65,6 +65,7 @@ def _shard_table(
     seed: int,
     near_dup_rate: float = 0.0,
     vocab_variants: int = 750,
+    dup_rate: float = DUP_RATE,
 ) -> pa.Table:
     lo = shard * n_docs // shards
     hi = (shard + 1) * n_docs // shards
@@ -78,7 +79,7 @@ def _shard_table(
     # exact duplicates WITHIN the shard (global dedup still crosses
     # shards via the fingerprint shuffle; in-shard dups exercise the
     # same path and keep generation single-pass)
-    n_dup = int(len(ids) * DUP_RATE)
+    n_dup = int(len(ids) * dup_rate)
     dup_pos = rng.randint(1, len(ids), n_dup)
     for p in dup_pos:
         texts[p] = texts[p - 1]
@@ -110,6 +111,7 @@ def generate(
     seed: int = 42,
     near_dup_rate: float = 0.0,
     vocab_variants: int = 750,
+    dup_rate: float = DUP_RATE,
 ) -> None:
     import ray
 
@@ -125,7 +127,9 @@ def generate(
         # written as ONE group would be unsplittable — one read task
         # per shard no matter the cluster size
         pq.write_table(
-            _shard_table(shard, n_docs, shards, seed, near_dup_rate, vocab_variants),
+            _shard_table(
+                shard, n_docs, shards, seed, near_dup_rate, vocab_variants, dup_rate
+            ),
             path,
             row_group_size=4096,
         )
@@ -141,4 +145,5 @@ if __name__ == "__main__":
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     nd = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     vv = int(sys.argv[5]) if len(sys.argv) > 5 else 750
-    generate(out, n, s, near_dup_rate=nd, vocab_variants=vv)
+    dr = float(sys.argv[6]) if len(sys.argv) > 6 else DUP_RATE
+    generate(out, n, s, near_dup_rate=nd, vocab_variants=vv, dup_rate=dr)
