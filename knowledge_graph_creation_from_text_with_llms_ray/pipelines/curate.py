@@ -17,10 +17,16 @@ before tokenization.  Structure mirrors ``kg.run_checkpointed``:
    (doc_id, fingerprint) read; curated files containing no losers are
    hard-linked into the corpus (server-side copy / manifest append on
    shared object storage), and only loser-containing files are
-   rewritten.  Finalize I/O is therefore proportional to the DUPLICATE
-   count, not the corpus size — the round-4 form re-read and rewrote
-   the full corpus (19 GB at the 4 M-doc bench) regardless of CPU
-   count, which held end-to-end scaling at 0.69–0.74.
+   rewritten.  Finalize I/O is therefore proportional to the number of
+   loser-CONTAINING files, not the corpus size — the round-4 form
+   re-read and rewrote the full corpus (19 GB at the 4 M-doc bench)
+   regardless of CPU count, which held end-to-end scaling at
+   0.69–0.74.  Honest limit: with duplicates scattered UNIFORMLY at a
+   few percent, every multi-thousand-row file contains a loser and
+   assembly degenerates to a rewrite; link-assembly pays off when
+   duplicates are rare or clustered (re-crawls, boilerplate runs) —
+   measured 3.3 s links-only vs 10-14 s rewrite at 2 M docs / 32 CPUs
+   (BASELINE.md round 5).
 
 The global dedup cannot be per-shard (duplicates cross shard
 boundaries); everything that CAN be per-shard is, because that is the
