@@ -279,3 +279,21 @@ def test_curation_shard_reruns_on_layout_change(docs_shards, tmp_path):
         json.dump(man, f)
     s = run_curation(docs_shards, wd)
     assert s["shards_ran"] == [1]
+
+
+def test_curation_codec_knob(docs_shards, tmp_path):
+    """codec= lands on both checkpoint files (which link into the
+    corpus) and loser rewrites — parquet metadata says ZSTD."""
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_creation_from_text_with_llms_ray.pipelines.curate import run_curation
+
+    wd = str(tmp_path / "cwd_codec")
+    s = run_curation(docs_shards, wd, codec="zstd")
+    assert s["rows"] > 0
+    files = glob.glob(os.path.join(wd, "corpus", "split=*", "*.parquet"))
+    codecs = {
+        pq.ParquetFile(p).metadata.row_group(0).column(0).compression
+        for p in files
+    }
+    assert codecs == {"ZSTD"}
