@@ -330,12 +330,13 @@ def run_curation(
     executor per wave replaces the round-4 thread pool that drove
     ``shard_concurrency`` SEPARATE Ray Data jobs concurrently — N
     competing executors fair-share the object store and per-operator
-    resource budgets, and the measured cost was ~40% of the cluster
-    idle at 32 CPUs (2M-doc/4.8GB corpus: shard phase 38s pooled vs
-    ~24s as one executor; see BASELINE.md round 5).  A serial per-shard
+    resource budgets (2M-doc/4.8GB corpus @32 CPUs same-day: E2E 52.7s
+    pooled → 46.2s fused, and the ±30% pooled run-to-run variance
+    collapsed to ±5%; see BASELINE.md round 5).  A serial per-shard
     loop is still worse (per-job orchestration 128× in a row: 165s at
-    500k docs/128 shards).  Manifests stay per-shard; a wave killed
-    mid-flight just reruns its unmanifested shards.
+    500k docs/128 shards), and wider waves pressure the object store
+    (wave=8: 51.7s, wave=16: 60.5s E2E).  Manifests stay per-shard; a
+    wave killed mid-flight just reruns its unmanifested shards.
     """
     _harden_fsspec_probe()
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
